@@ -1,0 +1,93 @@
+"""Transcripts → link-graph ETL (the engine's source, SURVEY §2.1 note).
+
+Input: transcript table ``(conv_id, turn_idx, role, text, tool, ts)``
+(Iceberg/Parquet). Vertices are turns ``(conv_id, turn_idx)`` and tool
+names; edges are
+
+* reply edges  (conv_id, k) — (conv_id, k-1), built with a
+  ``lag`` window partitioned by conv_id (narrow per-conversation work;
+  conv_id is the natural partition key at 10^12-turn scale), and
+* tool-interaction edges  turn — tool vertex (``tool`` non-null).
+
+Weights are interaction counts. The output is symmetrized/deduped per the
+graph-core invariants. Only (conv_id, turn_idx, tool) are read — Catalyst
+prunes ``text`` out of the scan entirely.
+
+The per-turn text invariant ("per-turn text equality under stable turn
+ordering") is checked by joining the vertex map back to the source table —
+see tests/test_etl.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .graph import assign_dense_ids, symmetrize
+
+
+def turn_vertices(transcripts: DataFrame) -> DataFrame:
+    """Dense ids for turn vertices, ordered by (conv_id, turn_idx).
+
+    Returns (conv_id, turn_idx, vid).
+    """
+    return assign_dense_ids(
+        transcripts.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "vid"
+    )
+
+
+def tool_vertices(transcripts: DataFrame, start: int) -> DataFrame:
+    """Dense ids for tool vertices, numbered after the turn vertices."""
+    tools = transcripts.filter(F.col("tool").isNotNull()).select("tool")
+    return assign_dense_ids(tools, ["tool"], "vid", start=start)
+
+
+def build_edges(transcripts: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the symmetrized edge table from a transcript table.
+
+    Returns (edges, turn_vertex_map, tool_vertex_map); edges is
+    ``(src:long, dst:long, weight:double)`` symmetric, deduped, no
+    self-loops (a turn never links to itself).
+    """
+    turns = turn_vertices(transcripts).cache()
+    n_turns = turns.count()
+    tools = tool_vertices(transcripts, start=n_turns).cache()
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    reply_pairs = (
+        transcripts.select("conv_id", "turn_idx")
+        .distinct()
+        .withColumn("prev_idx", F.lag("turn_idx").over(w))
+        .filter(F.col("prev_idx").isNotNull())
+    )
+    reply_edges = (
+        reply_pairs.join(turns, ["conv_id", "turn_idx"])
+        .withColumnRenamed("vid", "src")
+        .join(
+            turns.select(
+                F.col("conv_id").alias("conv_id2"),
+                F.col("turn_idx").alias("prev_idx2"),
+                F.col("vid").alias("dst"),
+            ),
+            (F.col("conv_id") == F.col("conv_id2"))
+            & (F.col("prev_idx") == F.col("prev_idx2")),
+        )
+        .select("src", "dst")
+    )
+
+    tool_edges = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .select("conv_id", "turn_idx", "tool")
+        .join(turns, ["conv_id", "turn_idx"])
+        .withColumnRenamed("vid", "src")
+        .join(F.broadcast(tools.withColumnRenamed("vid", "dst")), "tool")
+        .select("src", "dst")
+    )
+
+    directed = (
+        reply_edges.unionByName(tool_edges)
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    edges = symmetrize(directed)
+    return edges, turns, tools

@@ -1,0 +1,11 @@
+from .numpy_oracle import (  # noqa: F401
+    louvain_multiphase_np,
+    louvain_phase_np,
+    pagerank_np,
+    connected_components_np,
+    label_propagation_np,
+    triangle_counts_np,
+    modularity_np,
+    renumber_np,
+    coarsen_np,
+)

@@ -1,0 +1,434 @@
+"""Single-threaded oracle: reference semantics re-stated in plain Python.
+
+This module is the ground truth the Spark engine must match. It is written
+as deliberately simple dict/loop code (NOT shared with the engine's
+vectorized kernels) so tests are non-circular: engine and oracle implement
+the same *contract* twice, independently.
+
+The contract is distilled from the reference's DEFAULT dispatch path —
+``runMultiPhaseBasic`` with threadsOpt=1 → ``parallelLouvianMethod_SFP``
+("Modified Parallel" in the results CSVs) — verified against the compiled
+reference binary on the karate fixture (citations into /root/reference):
+
+* greedy init pass from singletons: each vertex evaluates every neighbor
+  as a singleton community, argmax gain with min-cid tie-break; since all
+  sizes are 1 the swap protection allows only moves to a SMALLER id;
+  community info updated after the pass
+  (``utilityClusteringFunctions.cpp:335-397``, init called at
+  ``vectorizedLouvainMethod.cpp:194``)
+* local-move sweep: Jacobi snapshot reads, post-sweep apply
+  (``vectorizedLouvainMethod.cpp:209-322``)
+* gain formula ``2*(eiy-eix) - 2*deg_i*(ay-ax)/2m``, tie-break to the
+  smaller community id among equal positive gains, singleton swap
+  protection (``utilityClusteringFunctions.cpp:835-868``)
+* modularity from the iteration-start snapshot
+  (``vectorizedLouvainMethod.cpp:281-295``)
+* stop when no vertex moved or numItrs >= 25; the phase returns the
+  CURRENT assignment (the one the final sweep read) and the modularity of
+  the iteration before the last (``vectorizedLouvainMethod.cpp:305-347``)
+* first-occurrence-contiguous renumbering (``buildNextPhase.cpp:48-79``)
+* coarsening: intra-community weight doubled into a single self-loop,
+  inter weights summed once per direction (``buildNextPhase.cpp:145-236``)
+* phase caps 200 / total-iteration cap 100000 (``runMultiPhaseBasic.cpp:128``)
+
+The engine standardizes on float64 (the reference SFP path is float32);
+with integer edge weights every sum here is exactly representable, so the
+float32/float64 trajectories coincide on the test fixtures (SURVEY §1.2).
+
+Graph input convention everywhere: ``edges`` is a list of (src, dst, w)
+rows that is ALREADY symmetric (both directions present, self-loops once),
+``nv`` the number of vertices (dense ids 0..nv-1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def adjacency(edges, nv):
+    """vertex -> list[(nbr, w)] from symmetric rows."""
+    adj = [[] for _ in range(nv)]
+    for s, d, w in edges:
+        adj[int(s)].append((int(d), float(w)))
+    return adj
+
+
+def vertex_degrees(edges, nv):
+    """Weighted degree = sum of row weights per src (self-loop once)."""
+    deg = [0.0] * nv
+    for s, _, w in edges:
+        deg[int(s)] += float(w)
+    return deg
+
+
+# ---------------------------------------------------------------------------
+# Louvain
+# ---------------------------------------------------------------------------
+
+def _argmax_community(candidates, sc, eix, ax, deg_i, const, c_degree):
+    """Reference gain argmax: max over candidate (cid, eiy) pairs, ties to
+    the smaller cid among equal positive gains; returns sc if no gain > 0.
+    Order-independent: the winner is the smallest cid among the argmax set.
+    """
+    max_gain = 0.0
+    max_index = sc
+    for cid in sorted(candidates):
+        if cid == sc:
+            continue
+        eiy = candidates[cid]
+        ay = c_degree.get(cid, 0.0)
+        cur_gain = 2 * (eiy - eix) - 2 * deg_i * (ay - ax) * const
+        if cur_gain > max_gain or (
+            cur_gain == max_gain and cur_gain != 0 and cid < max_index
+        ):
+            max_gain = cur_gain
+            max_index = cid
+    return max_index
+
+
+def louvain_init_np(adj, deg, const, nv):
+    """Greedy init pass (initCommAssOptVec_SFP): from singletons, each
+    vertex targets its best-gain neighbour; swap protection (all sizes 1)
+    permits only moves to a smaller vertex id. Returns (curr, c_size,
+    c_degree) with community info already updated.
+    """
+    curr = list(range(nv))
+    for v in range(nv):
+        if not adj[v]:
+            continue
+        # every neighbour is its own singleton community; eix = ax = 0
+        candidates = {}
+        for j, w in adj[v]:
+            if j == v:
+                continue  # self-loop: recorded but eix = w_self - w_self = 0
+            candidates[j] = candidates.get(j, 0.0) + w
+        max_index = _argmax_community(candidates, v, 0.0, 0.0, deg[v], const, {j: deg[j] for j in list(candidates) + [v]})
+        if max_index > v:  # swap protection: all sizes are 1 at init
+            max_index = v
+        curr[v] = max_index
+
+    c_size = {i: 1 for i in range(nv)}
+    c_degree = {i: deg[i] for i in range(nv)}
+    for v in range(nv):
+        if curr[v] != v:
+            c_degree[v] -= deg[v]
+            c_size[v] -= 1
+            c_degree[curr[v]] += deg[v]
+            c_size[curr[v]] += 1
+    return curr, c_size, c_degree
+
+
+def louvain_phase_np(edges, nv, lower=-1.0, max_inner=25):
+    """One Louvain phase with exact reference (SFP default path) semantics.
+
+    Returns (C, prev_mod, num_iters, change, mod_trajectory).
+    """
+    adj = adjacency(edges, nv)
+    deg = vertex_degrees(edges, nv)
+    two_m = sum(deg)
+    const = 1.0 / two_m if two_m > 0 else 0.0
+
+    curr, c_size, c_degree = louvain_init_np(adj, deg, const, nv)
+    prev_mod = -1.0
+    change = False
+    num_iters = 0
+    trajectory = []
+
+    while True:
+        num_iters += 1
+        target = [0] * nv
+        e_xx = 0.0
+        moved = False
+        moves = []  # (vertex, from, to)
+
+        for i in range(nv):
+            if not adj[i]:
+                target[i] = -1
+                continue
+            sc = curr[i]
+            counter = {sc: 0.0}
+            self_loop = 0.0
+            for j, w in adj[i]:
+                if j == i:
+                    self_loop += w
+                counter[curr[j]] = counter.get(curr[j], 0.0) + w
+            e_xx += counter[sc]
+
+            eix = counter[sc] - self_loop
+            ax = c_degree.get(sc, 0.0) - deg[i]
+            max_index = _argmax_community(counter, sc, eix, ax, deg[i], const, c_degree)
+            # singleton swap protection
+            if (
+                c_size.get(max_index, 0) == 1
+                and c_size.get(sc, 0) == 1
+                and max_index > sc
+            ):
+                max_index = sc
+            target[i] = max_index
+            if max_index != sc:
+                moved = True
+                moves.append((i, sc, max_index))
+
+        a2_x = sum(d * d for d in c_degree.values())
+        curr_mod = e_xx * const - a2_x * const * const
+        trajectory.append(curr_mod)
+        if moved:
+            change = True
+        if not moved or num_iters >= max_inner:
+            break
+
+        prev_mod = curr_mod
+        if prev_mod < lower:
+            prev_mod = lower
+        for i, frm, to in moves:
+            c_degree[to] = c_degree.get(to, 0.0) + deg[i]
+            c_size[to] = c_size.get(to, 0) + 1
+            c_degree[frm] = c_degree.get(frm, 0.0) - deg[i]
+            c_size[frm] = c_size.get(frm, 0) - 1
+
+        curr = target  # phase returns the assignment the final sweep read
+
+    return curr, prev_mod, num_iters, change, trajectory
+
+
+def renumber_np(c):
+    """First-occurrence contiguous renumber; -1 entries untouched.
+
+    Returns (new_c, num_clusters).
+    """
+    seen = {}
+    out = []
+    for x in c:
+        if x < 0:
+            out.append(x)
+            continue
+        if x not in seen:
+            seen[x] = len(seen)
+        out.append(seen[x])
+    return out, len(seen)
+
+
+def coarsen_np(edges, c, num_clusters):
+    """Community-aggregation coarsening over symmetric rows.
+
+    Accumulating every symmetric row into (C[src], C[dst]) reproduces the
+    reference exactly: inter-community pairs get the undirected weight in
+    each direction; the self-loop pair gets 2x intra weight + old
+    self-loops once.
+    """
+    acc = {}
+    for s, d, w in edges:
+        key = (c[int(s)], c[int(d)])
+        acc[key] = acc.get(key, 0.0) + float(w)
+    out = [(cs, cd, w) for (cs, cd), w in sorted(acc.items())]
+    return out, num_clusters
+
+
+def louvain_multiphase_np(
+    edges, nv, threshold=1e-6, max_phases=200, max_total_iters=100000, max_inner=25
+):
+    """Multi-phase Louvain driver (runMultiPhaseBasic semantics).
+
+    One extra guard beyond the reference: if a phase leaves every vertex in
+    its own community (num_clusters == NV) the coarse graph is a fixpoint —
+    every further phase would repeat verbatim without changing C_orig, so
+    we break early with identical final output (the reference would spin to
+    the 200-phase cap).
+
+    Returns dict with C, modularity, phases, total_iters, num_clusters,
+    trajectory (per-phase modularity list).
+    """
+    c_orig = [-1] * nv
+    g_edges, g_nv = list(edges), nv
+    prev_mod = -1.0
+    curr_mod = -1.0
+    phase = 1
+    tot_iters = 0
+    num_clusters = 0
+    phase_mods = []
+
+    while True:
+        prev_mod = curr_mod
+        c, curr_mod, iters, change, _ = louvain_phase_np(
+            g_edges, g_nv, lower=curr_mod, max_inner=max_inner
+        )
+        tot_iters += iters
+        c, num_clusters = renumber_np(c)
+        phase_mods.append(curr_mod)
+
+        if phase == 1:
+            c_orig = list(c)
+        else:
+            c_orig = [c[x] if x >= 0 else x for x in c_orig]
+
+        if phase > max_phases or tot_iters > max_total_iters:
+            break
+        if num_clusters == g_nv:
+            break  # coarsening fixpoint — see docstring
+        if change:
+            g_edges, g_nv = coarsen_np(g_edges, c, num_clusters)
+            phase += 1
+        else:
+            break
+
+    return {
+        "C": c_orig,
+        "modularity": prev_mod,
+        "phases": phase,
+        "total_iters": tot_iters,
+        "num_clusters": num_clusters,
+        "trajectory": phase_mods,
+    }
+
+
+def modularity_np(edges, c, nv):
+    """Q = e_in/2m - sum_c (a_c/2m)^2 for a given assignment."""
+    deg = vertex_degrees(edges, nv)
+    two_m = sum(deg)
+    if two_m == 0:
+        return 0.0
+    e_in = sum(w for s, d, w in edges if c[int(s)] == c[int(d)] and c[int(s)] >= 0)
+    a = {}
+    for i in range(nv):
+        if c[i] >= 0:
+            a[c[i]] = a.get(c[i], 0.0) + deg[i]
+    return e_in / two_m - sum(x * x for x in a.values()) / (two_m * two_m)
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def pagerank_np(edges, nv, alpha=0.85, tol=1e-10, max_iter=100):
+    """Weighted PageRank with uniform dangling-mass redistribution.
+
+    r_{k+1}(v) = (1-alpha)/NV + alpha * (sum_u r_k(u) w(u,v)/wdeg(u)
+                                         + dangling_mass/NV)
+    Converges when max|delta| < tol. Returns (ranks, iters).
+    """
+    deg = np.array(vertex_degrees(edges, nv))
+    r = np.full(nv, 1.0 / nv)
+    src = np.array([int(s) for s, _, _ in edges], dtype=np.int64)
+    dst = np.array([int(d) for _, d, _ in edges], dtype=np.int64)
+    w = np.array([float(x) for _, _, x in edges])
+    dangling = deg == 0
+    iters = 0
+    for _ in range(max_iter):
+        iters += 1
+        contrib = np.zeros(nv)
+        np.add.at(contrib, dst, r[src] * w / deg[src])
+        dmass = r[dangling].sum()
+        r_new = (1 - alpha) / nv + alpha * (contrib + dmass / nv)
+        delta = np.abs(r_new - r).max()
+        r = r_new
+        if delta < tol:
+            break
+    return r, iters
+
+
+# ---------------------------------------------------------------------------
+# Connected components
+# ---------------------------------------------------------------------------
+
+def connected_components_np(edges, nv):
+    """Union-find; component label = min vertex id in the component."""
+    parent = list(range(nv))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d, _ in edges:
+        rs, rd = find(int(s)), find(int(d))
+        if rs != rd:
+            if rs < rd:
+                parent[rd] = rs
+            else:
+                parent[rs] = rd
+    # path-compress to root, which is the min id by construction above
+    comp = [0] * nv
+    for i in range(nv):
+        comp[i] = find(i)
+    # ensure min-id labeling
+    best = {}
+    for i in range(nv):
+        r = comp[i]
+        best[r] = min(best.get(r, i), i)
+    return [best[comp[i]] for i in range(nv)]
+
+
+# ---------------------------------------------------------------------------
+# Label propagation
+# ---------------------------------------------------------------------------
+
+def label_propagation_np(edges, nv, max_iter=20):
+    """Synchronous weighted LPA, deterministic.
+
+    label_{k+1}(v) = argmax_l sum of w(v,u) over nbrs u with label_k(u)=l,
+    ties to the smaller label; isolated vertices keep their own label.
+    Stops when no label changes or after max_iter rounds.
+    Returns (labels, iters).
+    """
+    adj = adjacency(edges, nv)
+    labels = list(range(nv))
+    iters = 0
+    for _ in range(max_iter):
+        iters += 1
+        new_labels = list(labels)
+        changed = False
+        for i in range(nv):
+            if not adj[i]:
+                continue
+            cnt = {}
+            for j, w in adj[i]:
+                if j == i:
+                    continue  # self-loop carries no label information
+                lab = labels[j]
+                cnt[lab] = cnt.get(lab, 0.0) + w
+            if not cnt:
+                continue
+            best = min(sorted(cnt), key=lambda l: (-cnt[l], l))
+            new_labels[i] = best
+            if best != labels[i]:
+                changed = True
+        labels = new_labels
+        if not changed:
+            break
+    return labels, iters
+
+
+# ---------------------------------------------------------------------------
+# Triangles
+# ---------------------------------------------------------------------------
+
+def triangle_counts_np(edges, nv):
+    """Per-vertex triangle counts (self-loops/duplicates ignored).
+
+    Returns (per_vertex_list, total_triangles).
+    """
+    nbrs = [set() for _ in range(nv)]
+    for s, d, _ in edges:
+        s, d = int(s), int(d)
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    per = [0] * nv
+    total = 0
+    for u in range(nv):
+        for v in nbrs[u]:
+            if v <= u:
+                continue
+            common = nbrs[u] & nbrs[v]
+            for x in common:
+                if x > v:
+                    per[u] += 1
+                    per[v] += 1
+                    per[x] += 1
+                    total += 1
+    return per, total
