@@ -1,0 +1,106 @@
+"""PageRank as an iterative DataFrame superstep (SURVEY §2.12).
+
+Weighted PageRank over the symmetric edge table with uniform
+dangling-mass redistribution, float64 throughout (gate: allclose 1e-6 vs
+the numpy oracle):
+
+    r_{k+1}(v) = (1-a)/NV + a * (sum_u r_k(u) * w(u,v)/wdeg(u) + D_k/NV)
+
+Scale notes: the one unavoidable shuffle per iteration is the
+``groupBy(dst)`` contribution sum. Edges are cached with the
+rank-distribution factor ``w/wdeg(src)`` precomputed (reference seed: the
+degree normalization A1/A2, ``utilityClusteringFunctions.cpp:115-180``).
+Lineage is cut with ``localCheckpoint`` every ``checkpoint_every``
+iterations so 100-iteration runs keep constant-size plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    nv: int,
+    alpha: float = 0.85,
+    tol: float = 1e-10,
+    max_iter: int = 100,
+    checkpoint_every: int = 5,
+    checkpoint=None,
+) -> tuple[DataFrame, int]:
+    """Returns ((vid, rank) DataFrame, iterations run).
+
+    ``nv`` is the dense vertex-space size (isolated vertices included —
+    they are dangling and receive only redistribution mass).
+    ``checkpoint`` is an optional CheckpointManager for resumable runs.
+    """
+    deg = edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
+    # transition factor is rank-independent: precompute once and cache
+    trans = (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("factor"))
+        .localCheckpoint(eager=True)
+    )
+
+    vertices = spark.range(nv).select(F.col("id").alias("vid"))
+    non_dangling = deg.select(F.col("src").alias("vid"))
+    dangling = vertices.join(non_dangling, "vid", "left_anti").localCheckpoint(eager=True)
+
+    start_iter = 0
+    ranks = None
+    if checkpoint is not None:
+        state = checkpoint.load_latest("pagerank")
+        if state is not None:
+            ranks = state.dataframes["ranks"]
+            start_iter = state.meta["iteration"]
+    if ranks is None:
+        ranks = vertices.select("vid", F.lit(1.0 / nv).alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+
+    iters = start_iter
+    for it in range(start_iter, max_iter):
+        iters = it + 1
+        dmass = (
+            ranks.join(dangling, "vid").agg(F.sum("rank")).collect()[0][0] or 0.0
+        )
+        contrib = (
+            trans.join(ranks, trans.src == ranks.vid)
+            .select(F.col("dst").alias("vid"), (F.col("factor") * F.col("rank")).alias("c"))
+            .groupBy("vid")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks = (
+            vertices.join(contrib, "vid", "left")
+            .select(
+                "vid",
+                (
+                    F.lit((1.0 - alpha) / nv)
+                    + F.lit(alpha)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dmass / nv))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            new_ranks = new_ranks.cache()
+
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "vid")
+            .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
+            .collect()[0][0]
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+        if checkpoint is not None and (it + 1) % checkpoint_every == 0:
+            checkpoint.save(
+                "pagerank",
+                meta={"iteration": it + 1, "delta": float(delta)},
+                dataframes={"ranks": ranks},
+            )
+        if delta < tol:
+            break
+    return ranks, iters
