@@ -1,38 +1,972 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every SQL-expressible operator from SURVEY.md §2 (plus
+the training-data pipeline additions) to a (spark, sf_dir) -> DataFrame
+callable; ``oracle_sql()`` carries the DuckDB twin of each. Iterative
+graph algorithms (Louvain, PageRank, label propagation) are included as
+rows-only entries — their exactness gate is the numpy-oracle pytest suite
+(tests/test_operators_vs_oracle.py, tests/test_louvain.py), which mirrors
+the reference semantics bit-for-bit.
+
+Float discipline: every floating-point output column is rounded to 6
+decimals on BOTH sides so value-hashes are stable across engines; integer
+aggregates are cast to BIGINT on the DuckDB side (DuckDB sums integers
+into HUGEINT).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from grappolo_spark import tables as T
+from grappolo_spark.functions import text as TX
+from grappolo_spark.functions import vectors as VX
+from grappolo_spark.operators.components import connected_components
+from grappolo_spark.operators.labelprop import label_propagation
+from grappolo_spark.operators.louvain import louvain
+from grappolo_spark.operators.pagerank import pagerank
+from grappolo_spark.operators.triangles import triangles, _oriented
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _r6(col):
+    return F.round(col, 6)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: co-purchase link graph at sf0.001 → PageRank → top-100.
+
+    Exercises the full stack: relational scan → self-join graph build →
+    symmetrize → iterative superstep with lineage cutting → top-k.
+    """
+    edges = T.copurchase_edges(spark, SF_SMOKE)
+    nv = T.copurchase_nv(spark, SF_SMOKE)
+    ranks, _ = pagerank(spark, edges, nv, tol=1e-8, max_iter=30)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("vid"))
+        .limit(100)
+        .select("vid", _r6("rank").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+def _q_edges(spark, sf):
+    return T.copurchase_edges(spark, sf)
+
+
+def _q_degrees(spark, sf):
+    e = T.copurchase_edges(spark, sf)
+    return e.groupBy(F.col("src").alias("vid")).agg(
+        _r6(F.sum("weight")).alias("degree"),
+        F.count("*").alias("num_neighbors"),
+    )
+
+
+def _q_graph_stats(spark, sf):
+    e = T.copurchase_edges(spark, sf)
+    deg = e.groupBy("src").agg(F.sum("weight").alias("d"), F.count("*").alias("n"))
+    return deg.agg(
+        F.count("*").alias("nv_with_edges"),
+        F.max("d").alias("max_degree"),
+        _r6(F.avg("d")).alias("avg_degree"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("degree_one"),
+    ).crossJoin(e.agg((F.count("*") / 2).cast("long").alias("num_undirected_edges")))
+
+
+def _q_triangles_pv(spark, sf):
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    pv, _total = triangles(spark, e, nv)
+    return pv
+
+
+def _q_triangles_total(spark, sf):
+    e = T.copurchase_edges(spark, sf)
+    o = _oriented(e)
+    e1 = o.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    e2 = o.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    wedges = e1.join(e2, "v").select("u", "v", "w")
+    closed = wedges.join(o, (wedges.u == o.a) & (wedges.w == o.b))
+    return closed.agg(F.count("*").alias("n_triangles"))
+
+
+def _q_brand_communities(spark, sf):
+    return T.brand_communities(spark, sf)
+
+
+def _q_brand_modularity(spark, sf):
+    e = T.copurchase_edges(spark, sf)
+    c = T.brand_communities(spark, sf)
+    deg = e.groupBy(F.col("src").alias("vid")).agg(F.sum("weight").alias("degree"))
+    twom = e.agg(F.sum("weight").alias("m2"))
+    cs = c.select(F.col("vid").alias("src"), F.col("comm").alias("c_src"))
+    cd = c.select(F.col("vid").alias("dst"), F.col("comm").alias("c_dst"))
+    ein = (
+        e.join(cs, "src").join(cd, "dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("s"))
+    )
+    a2 = (
+        c.join(deg, "vid", "left")
+        .groupBy("comm")
+        .agg(F.sum(F.coalesce("degree", F.lit(0.0))).alias("a"))
+        .agg(F.sum(F.col("a") * F.col("a")).alias("v"))
+    )
+    return (
+        ein.crossJoin(twom).crossJoin(a2)
+        .select(_r6(F.col("s") / F.col("m2") - F.col("v") / (F.col("m2") * F.col("m2"))).alias("modularity"))
+    )
+
+
+def _q_brand_coarsen(spark, sf):
+    from grappolo_spark.operators.louvain import coarsen
+
+    e = T.copurchase_edges(spark, sf)
+    c = T.brand_communities(spark, sf)
+    return coarsen(e, c).select("src", "dst", _r6("weight").alias("weight"))
+
+
+def _q_brand_gini(spark, sf):
+    c = T.brand_communities(spark, sf)
+    sizes = c.groupBy("comm").agg(F.count("*").alias("size"))
+    n = sizes.agg(F.count("*").alias("n"))
+    w = Window.orderBy("size", "comm")
+    ranked = sizes.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.crossJoin(n)
+        .agg(
+            _r6(
+                F.sum((F.lit(2.0) * F.col("i") - F.col("n") - 1) * F.col("size"))
+                / (F.max("n") * F.sum("size"))
+            ).alias("gini")
+        )
+    )
+
+
+def _q_brand_type_fscore(spark, sf):
+    c1 = T.brand_communities(spark, sf)
+    c2 = T.type_communities(spark, sf)
+    joined = c1.select("vid", F.col("comm").alias("a")).join(
+        c2.select("vid", F.col("comm").alias("b")), "vid"
+    )
+    cells = joined.groupBy("a", "b").agg(F.count("*").alias("n"))
+    pairs = F.sum(F.col("n") * (F.col("n") - 1) / 2)
+    tp = cells.agg(pairs.alias("tp"))
+    tp_fp = cells.groupBy("a").agg(F.sum("n").alias("n")).agg(pairs.alias("tp_fp"))
+    tp_fn = cells.groupBy("b").agg(F.sum("n").alias("n")).agg(pairs.alias("tp_fn"))
+    return (
+        tp.crossJoin(tp_fp).crossJoin(tp_fn)
+        .select(
+            _r6(F.col("tp") / F.col("tp_fp")).alias("precision"),
+            _r6(F.col("tp") / F.col("tp_fn")).alias("recall"),
+            _r6(
+                F.lit(2.0)
+                * (F.col("tp") / F.col("tp_fp"))
+                * (F.col("tp") / F.col("tp_fn"))
+                / (F.col("tp") / F.col("tp_fp") + F.col("tp") / F.col("tp_fn"))
+            ).alias("fscore"),
+        )
+    )
+
+
+def _nbrs(e):
+    return e.filter(F.col("src") != F.col("dst")).select("src", "dst")
+
+
+def _q_jaccard(spark, sf):
+    e = T.copurchase_edges(spark, sf)
+    nbr = _nbrs(e)
+    deg = nbr.groupBy("src").agg(F.count("*").alias("d"))
+    n1 = nbr.select(F.col("src").alias("u"), F.col("dst").alias("w1"))
+    n2 = nbr.select(F.col("src").alias("v"), F.col("dst").alias("w1"))
+    common = (
+        n1.join(n2, "w1")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    canon = nbr.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    d1 = deg.select(F.col("src").alias("u"), F.col("d").alias("du"))
+    d2 = deg.select(F.col("src").alias("v"), F.col("d").alias("dv"))
+    return (
+        canon.join(common, ["u", "v"], "left")
+        .join(d1, "u")
+        .join(d2, "v")
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            _r6(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / (F.col("du") + F.col("dv") - F.coalesce(F.col("c"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _q_sparsify(spark, sf):
+    sim = _q_jaccard(spark, sf)
+    both = sim.unionByName(
+        sim.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "jaccard")
+    )
+    deg = both.groupBy("src").agg(F.count("*").alias("d"))
+    w = Window.partitionBy("src").orderBy(F.desc("jaccard"), F.asc("dst"))
+    return (
+        both.join(deg, "src")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.ceil(F.pow(F.col("d"), 0.5)))
+        .select("src", "dst", F.col("jaccard").alias("similarity"))
+    )
+
+
+def _q_cc(spark, sf):
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    labels, _ = connected_components(spark, e, nv)
+    return labels
+
+
+def _q_event_transitions(spark, sf):
+    return T.event_transition_edges(spark, sf)
+
+
+# --- transcript ETL (north-rule input shape; SURVEY §2.1 engine source) ----
+
+def _q_transcript_table(spark, sf):
+    return T.transcripts_from_events(spark, sf)
+
+
+def _q_transcript_edges(spark, sf):
+    from grappolo_spark.etl import build_edges
+
+    tr = T.transcripts_from_events(spark, sf)
+    edges, _turns, _tools = build_edges(tr)
+    return edges.select("src", "dst", _r6("weight").alias("weight"))
+
+
+def _q_transcript_text_integrity(spark, sf):
+    """Per-turn text equality under stable turn ordering (north-rule
+    invariant): the turn-vertex map is a bijection and joining it back to
+    the source reproduces exactly one text per turn."""
+    from grappolo_spark.etl import turn_vertices
+
+    tr = T.transcripts_from_events(spark, sf)
+    turns = turn_vertices(tr)
+    joined = tr.join(turns, ["conv_id", "turn_idx"])
+    per_vid = joined.groupBy("vid").agg(
+        F.countDistinct("text").alias("n_texts"), F.count("*").alias("n_rows")
+    )
+    return per_vid.agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.when(F.col("n_texts") != 1, 1).otherwise(0)).cast("long").alias("n_text_conflicts"),
+        F.sum(F.when(F.col("n_rows") != 1, 1).otherwise(0)).cast("long").alias("n_vid_collisions"),
+        (F.max("vid") - F.min("vid") + 1 - F.count("*")).cast("long").alias("id_gaps"),
+    )
+
+
+def _q_transcript_pagerank(spark, sf):
+    from grappolo_spark.etl import build_edges
+
+    tr = T.transcripts_from_events(spark, sf)
+    edges, turns, tools = build_edges(tr)
+    nv = turns.count() + tools.count()
+    ranks, _ = pagerank(spark, edges, nv, tol=1e-9, max_iter=60)
+    return ranks.select("vid", _r6("rank").alias("rank"))
+
+
+# --- training-data pipeline: documents -------------------------------------
+
+def _q_dedup_exact(spark, sf):
+    return TX.exact_dedup_groups(T.table(spark, sf, "documents"))
+
+
+def _q_text_stats(spark, sf):
+    docs = T.table(spark, sf, "documents")
+    out = TX.with_token_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_chars_m").alias("n_chars"),
+        _r6("stopword_ratio").alias("stopword_ratio"),
+        _r6("punct_ratio").alias("punct_ratio"),
+        _r6("quality").alias("quality"),
+        "pred_lang",
+    )
+
+
+def _q_token_count_bpe(spark, sf):
+    docs = T.table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", TX.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens")
+    )
+
+
+def _q_fingerprint(spark, sf):
+    return TX.fingerprint(T.table(spark, sf, "documents"))
+
+
+def _q_simhash(spark, sf):
+    return TX.simhash(T.table(spark, sf, "documents"))
+
+
+def _q_minhash_sigs(spark, sf):
+    docs = T.table(spark, sf, "documents")
+    return TX.minhash_signatures(TX.doc_shingles(docs))
+
+
+def _q_lsh_pairs(spark, sf):
+    docs = T.table(spark, sf, "documents")
+    sigs = TX.minhash_signatures(TX.doc_shingles(docs))
+    return TX.lsh_candidate_pairs(sigs)
+
+
+def _q_ngram_jaccard(spark, sf):
+    docs = T.table(spark, sf, "documents")
+    pairs = TX.ngram_jaccard_pairs(TX.doc_shingles(docs), threshold=0.5)
+    return pairs.select("doc_a", "doc_b", _r6("jaccard").alias("jaccard"))
+
+
+# --- training-data pipeline: embeddings ------------------------------------
+
+def _q_embed_topk(spark, sf):
+    vecs = T.table(spark, sf, "embeddings")
+    out = VX.cosine_topk(vecs, n_queries=50, k=5)
+    return out.select("query_id", "neighbor_id", "rank", _r6("cosine").alias("cosine"))
+
+
+def _q_embed_centroids(spark, sf):
+    vecs = T.table(spark, sf, "embeddings")
+    return VX.label_centroids(vecs).select("label", "dim", _r6("centroid").alias("centroid"))
+
+
+# --- relational primitives demo (scan/agg/join paths, ref §2.4/§2.3) -------
+
+def _q_pricing_summary(spark, sf):
+    li = T.table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("timestamp'1998-09-01 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r6(F.sum("l_quantity")).alias("sum_qty"),
+            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_top_orders(spark, sf):
+    cust = T.table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = T.table(spark, sf, "orders")
+    li = T.table(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(_r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_nation_revenue(spark, sf):
+    cust = T.table(spark, sf, "customer")
+    orders = T.table(spark, sf, "orders")
+    li = T.table(spark, sf, "lineitem")
+    supp = T.table(spark, sf, "supplier")
+    nation = T.table(spark, sf, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(_r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+# --- iterative graph algorithms (rows-only entries; pytest = exact gate) ---
+
+def _q_pagerank(spark, sf):
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    ranks, _ = pagerank(spark, e, nv, tol=1e-9, max_iter=60)
+    return ranks.select("vid", _r6("rank").alias("rank"))
+
+
+def _q_louvain(spark, sf):
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    res = louvain(spark, e, nv)
+    return res.c
+
+
+def _q_labelprop(spark, sf):
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    labels, _ = label_propagation(spark, e, nv, max_iter=10)
+    return labels
+
+
+def _q_ann_lsh(spark, sf):
+    vecs = T.table(spark, sf, "embeddings")
+    out = VX.lsh_ann_topk(vecs, n_queries=50, k=5)
+    return out.select("query_id", "neighbor_id", "rank", _r6("cosine").alias("cosine"))
+
+
+def _q_multimodal_meta(spark, sf):
+    from grappolo_spark.functions import multimodal as MM
+
+    docs = T.table(spark, sf, "documents")
+    return MM.extract_metadata(MM.attach_media(docs))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # graph core (SURVEY §2.1/§2.4/§2.2)
+        "graph_edge_table": _q_edges,
+        "graph_degrees": _q_degrees,
+        "graph_stats": _q_graph_stats,
+        # triangles (C19 seed)
+        "triangles_per_vertex": _q_triangles_pv,
+        "triangles_total": _q_triangles_total,
+        # community machinery (W1, C11, A6, A9, A11/C18)
+        "communities_renumber": _q_brand_communities,
+        "modularity": _q_brand_modularity,
+        "coarsen": _q_brand_coarsen,
+        "gini": _q_brand_gini,
+        "cluster_fscore": _q_brand_type_fscore,
+        # similarity / sparsification (C19, T3)
+        "edge_jaccard": _q_jaccard,
+        "sparsify_topk": _q_sparsify,
+        # connected components (C20 seed)
+        "connected_components": _q_cc,
+        # ETL window shape (engine source)
+        "event_transitions": _q_event_transitions,
+        # transcript ETL (north-rule input: conv_id/turn_idx/role/text/tool/ts)
+        "transcript_table": _q_transcript_table,
+        "transcript_reply_edges": _q_transcript_edges,
+        "transcript_text_integrity": _q_transcript_text_integrity,
+        "transcript_pagerank": _q_transcript_pagerank,
+        # training-data pipeline: documents
+        "dedup_exact": _q_dedup_exact,
+        "text_stats": _q_text_stats,
+        "token_count_bpe": _q_token_count_bpe,
+        "doc_fingerprint": _q_fingerprint,
+        "simhash": _q_simhash,
+        "minhash_signatures": _q_minhash_sigs,
+        "minhash_lsh_pairs": _q_lsh_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        # training-data pipeline: embeddings
+        "embed_cosine_topk": _q_embed_topk,
+        "embed_centroids": _q_embed_centroids,
+        # relational primitives
+        "pricing_summary": _q_pricing_summary,
+        "top_orders_revenue": _q_top_orders,
+        "nation_revenue": _q_nation_revenue,
+        # iterative graph algorithms — rows-only (pytest exactness gate)
+        "pagerank": _q_pagerank,
+        "louvain_communities": _q_louvain,
+        "label_propagation": _q_labelprop,
+        "ann_lsh_topk": _q_ann_lsh,
+        "multimodal_metadata": _q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_EDGES = T.COPURCHASE_SQL_CTE
+
+_BRAND = """
+brand AS (
+    SELECT p_partkey AS vid,
+           CAST(DENSE_RANK() OVER (ORDER BY fv) - 1 AS BIGINT) AS comm
+    FROM (SELECT p_partkey, MIN(p_partkey) OVER (PARTITION BY p_brand) AS fv
+          FROM part)
+)
+"""
+
+_TYPE = """
+tcomm AS (
+    SELECT p_partkey AS vid,
+           CAST(DENSE_RANK() OVER (ORDER BY fv) - 1 AS BIGINT) AS comm
+    FROM (SELECT p_partkey, MIN(p_partkey) OVER (PARTITION BY p_type) AS fv
+          FROM part)
+)
+"""
+
+_TOKS = """
+toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, ' +'), t -> t <> '') AS tok,
+           text
+    FROM documents
+)
+"""
+
+_SHINGLES = """
+sh AS (
+    SELECT doc_id, UNNEST(
+        list_distinct(
+            CASE WHEN len(tok) >= 3
+                 THEN list_transform(range(1, len(tok) - 1),
+                                     i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+                 ELSE [array_to_string(tok, ' ')]
+            END
+        )
+    ) AS shingle
+    FROM toks
+)
+"""
+
+_SIGS = """
+sigs AS (
+    SELECT doc_id,
+           MIN(md5('0|' || shingle)) AS sig_0, MIN(md5('1|' || shingle)) AS sig_1,
+           MIN(md5('2|' || shingle)) AS sig_2, MIN(md5('3|' || shingle)) AS sig_3,
+           MIN(md5('4|' || shingle)) AS sig_4, MIN(md5('5|' || shingle)) AS sig_5,
+           MIN(md5('6|' || shingle)) AS sig_6, MIN(md5('7|' || shingle)) AS sig_7
+    FROM sh GROUP BY doc_id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql = {}
+
+    sql["graph_edge_table"] = f"WITH {_EDGES} SELECT src, dst, weight FROM edges"
+
+    sql["graph_degrees"] = f"""
+        WITH {_EDGES}
+        SELECT src AS vid, ROUND(SUM(weight), 6) AS degree,
+               CAST(COUNT(*) AS BIGINT) AS num_neighbors
+        FROM edges GROUP BY src
     """
-    return {}
+
+    sql["graph_stats"] = f"""
+        WITH {_EDGES},
+        deg AS (SELECT src, SUM(weight) AS d, COUNT(*) AS n FROM edges GROUP BY src)
+        SELECT CAST(COUNT(*) AS BIGINT) AS nv_with_edges,
+               MAX(d) AS max_degree,
+               ROUND(AVG(d), 6) AS avg_degree,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS degree_one,
+               (SELECT CAST(COUNT(*) / 2 AS BIGINT) FROM edges) AS num_undirected_edges
+        FROM deg
+    """
+
+    _ORIENT = f"""
+        {_EDGES},
+        ndeg AS (SELECT src, COUNT(*) AS d FROM edges WHERE src <> dst GROUP BY src),
+        canon AS (SELECT src AS u, dst AS v FROM edges WHERE src < dst),
+        orient AS (
+            SELECT CASE WHEN (d1.d < d2.d) OR (d1.d = d2.d AND c.u < c.v)
+                        THEN c.u ELSE c.v END AS a,
+                   CASE WHEN (d1.d < d2.d) OR (d1.d = d2.d AND c.u < c.v)
+                        THEN c.v ELSE c.u END AS b
+            FROM canon c
+            JOIN ndeg d1 ON c.u = d1.src
+            JOIN ndeg d2 ON c.v = d2.src
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM orient e1
+            JOIN orient e2 ON e1.b = e2.a
+            JOIN orient e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+    """
+
+    sql["triangles_total"] = f"WITH {_ORIENT} SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri"
+
+    sql["triangles_per_vertex"] = f"""
+        WITH {_ORIENT},
+        pv AS (
+            SELECT v AS vid, COUNT(*) AS t FROM (
+                SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+            ) GROUP BY v
+        )
+        SELECT p.p_partkey AS vid, CAST(COALESCE(pv.t, 0) AS BIGINT) AS triangles
+        FROM part p LEFT JOIN pv ON p.p_partkey = pv.vid
+    """
+
+    sql["communities_renumber"] = f"WITH {_BRAND} SELECT vid, comm FROM brand"
+
+    sql["modularity"] = f"""
+        WITH {_EDGES}, {_BRAND},
+        deg AS (SELECT src AS vid, SUM(weight) AS degree FROM edges GROUP BY src),
+        twom AS (SELECT SUM(weight) AS m2 FROM edges),
+        ein AS (
+            SELECT COALESCE(SUM(e.weight), 0) AS s
+            FROM edges e
+            JOIN brand c1 ON e.src = c1.vid
+            JOIN brand c2 ON e.dst = c2.vid
+            WHERE c1.comm = c2.comm
+        ),
+        a2 AS (
+            SELECT SUM(a * a) AS v FROM (
+                SELECT SUM(COALESCE(d.degree, 0)) AS a
+                FROM brand c LEFT JOIN deg d ON c.vid = d.vid
+                GROUP BY c.comm
+            )
+        )
+        SELECT ROUND(ein.s / twom.m2 - a2.v / (twom.m2 * twom.m2), 6) AS modularity
+        FROM ein, twom, a2
+    """
+
+    sql["coarsen"] = f"""
+        WITH {_EDGES}, {_BRAND}
+        SELECT c1.comm AS src, c2.comm AS dst, ROUND(SUM(e.weight), 6) AS weight
+        FROM edges e
+        JOIN brand c1 ON e.src = c1.vid
+        JOIN brand c2 ON e.dst = c2.vid
+        GROUP BY 1, 2
+    """
+
+    sql["gini"] = f"""
+        WITH {_BRAND},
+        sizes AS (SELECT comm, COUNT(*) AS size FROM brand GROUP BY comm),
+        ranked AS (
+            SELECT size, ROW_NUMBER() OVER (ORDER BY size, comm) AS i FROM sizes
+        )
+        SELECT ROUND(SUM((2.0 * i - (SELECT COUNT(*) FROM sizes) - 1) * size)
+                     / ((SELECT COUNT(*) FROM sizes) * SUM(size)), 6) AS gini
+        FROM ranked
+    """
+
+    sql["cluster_fscore"] = f"""
+        WITH {_BRAND}, {_TYPE},
+        cells AS (
+            SELECT b.comm AS a, t.comm AS b, COUNT(*) AS n
+            FROM brand b JOIN tcomm t ON b.vid = t.vid
+            GROUP BY 1, 2
+        ),
+        tp AS (SELECT SUM(n * (n - 1) / 2) AS tp FROM cells),
+        tfp AS (SELECT SUM(n * (n - 1) / 2) AS tp_fp FROM (SELECT SUM(n) AS n FROM cells GROUP BY a)),
+        tfn AS (SELECT SUM(n * (n - 1) / 2) AS tp_fn FROM (SELECT SUM(n) AS n FROM cells GROUP BY b))
+        SELECT ROUND(tp / tp_fp, 6) AS precision,
+               ROUND(tp / tp_fn, 6) AS recall,
+               ROUND(2.0 * (tp / tp_fp) * (tp / tp_fn) / (tp / tp_fp + tp / tp_fn), 6) AS fscore
+        FROM tp, tfp, tfn
+    """
+
+    _JACCARD = f"""
+        {_EDGES},
+        nbr AS (SELECT src, dst FROM edges WHERE src <> dst),
+        ndeg AS (SELECT src, COUNT(*) AS d FROM nbr GROUP BY src),
+        com AS (
+            SELECT n1.src AS u, n2.src AS v, COUNT(*) AS c
+            FROM nbr n1 JOIN nbr n2 ON n1.dst = n2.dst AND n1.src < n2.src
+            GROUP BY 1, 2
+        ),
+        canon AS (SELECT src AS u, dst AS v FROM nbr WHERE src < dst),
+        jac AS (
+            SELECT c.u, c.v,
+                   CAST(COALESCE(com.c, 0) AS DOUBLE)
+                   / (d1.d + d2.d - COALESCE(com.c, 0)) AS j
+            FROM canon c
+            LEFT JOIN com ON c.u = com.u AND c.v = com.v
+            JOIN ndeg d1 ON c.u = d1.src
+            JOIN ndeg d2 ON c.v = d2.src
+        )
+    """
+
+    sql["edge_jaccard"] = f"WITH {_JACCARD} SELECT u AS src, v AS dst, ROUND(j, 6) AS jaccard FROM jac"
+
+    sql["sparsify_topk"] = f"""
+        WITH {_JACCARD},
+        both_dir AS (
+            SELECT u AS src, v AS dst, ROUND(j, 6) AS jaccard FROM jac
+            UNION ALL
+            SELECT v AS src, u AS dst, ROUND(j, 6) AS jaccard FROM jac
+        ),
+        bdeg AS (SELECT src, COUNT(*) AS d FROM both_dir GROUP BY src),
+        ranked AS (
+            SELECT b.src, b.dst, b.jaccard, d.d,
+                   ROW_NUMBER() OVER (PARTITION BY b.src ORDER BY b.jaccard DESC, b.dst) AS rn
+            FROM both_dir b JOIN bdeg d ON b.src = d.src
+        )
+        SELECT src, dst, jaccard AS similarity FROM ranked WHERE rn <= CEIL(SQRT(d))
+    """
+
+    sql["connected_components"] = f"""
+        WITH RECURSIVE {_EDGES},
+        reach(v, r) AS (
+            SELECT p_partkey, p_partkey FROM part
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v
+        )
+        SELECT v AS vid, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY v
+    """
+
+    sql["event_transitions"] = """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+    _TR = T.TRANSCRIPTS_SQL_CTE
+
+    sql["transcript_table"] = f"""
+        WITH {_TR}
+        SELECT conv_id, turn_idx, role, text, tool, ts FROM tr
+    """
+
+    _TR_GRAPH = f"""
+        {_TR},
+        turns AS (
+            SELECT conv_id, turn_idx,
+                   ROW_NUMBER() OVER (ORDER BY conv_id, turn_idx) - 1 AS vid
+            FROM (SELECT DISTINCT conv_id, turn_idx FROM tr)
+        ),
+        tools AS (
+            SELECT tool,
+                   (SELECT COUNT(*) FROM turns)
+                   + ROW_NUMBER() OVER (ORDER BY tool) - 1 AS vid
+            FROM (SELECT DISTINCT tool FROM tr WHERE tool IS NOT NULL)
+        ),
+        rp AS (
+            SELECT conv_id, turn_idx,
+                   LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx
+            FROM (SELECT DISTINCT conv_id, turn_idx FROM tr)
+        ),
+        reply AS (
+            SELECT t1.vid AS src, t2.vid AS dst
+            FROM rp
+            JOIN turns t1 ON rp.conv_id = t1.conv_id AND rp.turn_idx = t1.turn_idx
+            JOIN turns t2 ON rp.conv_id = t2.conv_id AND rp.prev_idx = t2.turn_idx
+            WHERE rp.prev_idx IS NOT NULL
+        ),
+        tool_e AS (
+            SELECT t.vid AS src, tl.vid AS dst
+            FROM tr
+            JOIN turns t ON tr.conv_id = t.conv_id AND tr.turn_idx = t.turn_idx
+            JOIN tools tl ON tr.tool = tl.tool
+            WHERE tr.tool IS NOT NULL
+        ),
+        directed AS (
+            SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS weight
+            FROM (SELECT * FROM reply UNION ALL SELECT * FROM tool_e)
+            GROUP BY 1, 2
+        ),
+        canon AS (
+            SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+                   SUM(weight) AS weight
+            FROM directed GROUP BY 1, 2
+        ),
+        tredges AS (
+            SELECT u AS src, v AS dst, weight FROM canon
+            UNION ALL
+            SELECT v AS src, u AS dst, weight FROM canon WHERE u <> v
+        )
+    """
+
+    sql["transcript_reply_edges"] = f"""
+        WITH {_TR_GRAPH}
+        SELECT src, dst, ROUND(weight, 6) AS weight FROM tredges
+    """
+
+    sql["transcript_text_integrity"] = f"""
+        WITH {_TR},
+        turns AS (
+            SELECT conv_id, turn_idx,
+                   ROW_NUMBER() OVER (ORDER BY conv_id, turn_idx) - 1 AS vid
+            FROM (SELECT DISTINCT conv_id, turn_idx FROM tr)
+        ),
+        per_vid AS (
+            SELECT t.vid, COUNT(DISTINCT tr.text) AS n_texts, COUNT(*) AS n_rows
+            FROM tr JOIN turns t
+              ON tr.conv_id = t.conv_id AND tr.turn_idx = t.turn_idx
+            GROUP BY t.vid
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(CASE WHEN n_texts <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_text_conflicts,
+               CAST(SUM(CASE WHEN n_rows <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_vid_collisions,
+               CAST(MAX(vid) - MIN(vid) + 1 - COUNT(*) AS BIGINT) AS id_gaps
+        FROM per_vid
+    """
+
+    sql["dedup_exact"] = """
+        SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS canonical_doc_id
+        FROM documents GROUP BY 1
+    """
+
+    sql["text_stats"] = f"""
+        WITH {_TOKS},
+        st AS (
+            SELECT doc_id,
+                   CAST(len(tok) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CASE WHEN len(tok) > 0
+                        THEN CAST(len(list_filter(tok, t -> t IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / len(tok)
+                        ELSE 0.0 END AS stop_ratio,
+                   CASE WHEN length(text) > 0
+                        THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)
+                        ELSE 0.0 END AS punct_ratio
+            FROM toks
+        )
+        SELECT doc_id, n_tokens, n_chars,
+               ROUND(stop_ratio, 6) AS stopword_ratio,
+               ROUND(punct_ratio, 6) AS punct_ratio,
+               ROUND(stop_ratio * 0.4 + LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                     + (1.0 - punct_ratio) * 0.2, 6) AS quality,
+               CASE WHEN stop_ratio > 0.03 THEN 'en' ELSE 'und' END AS pred_lang
+        FROM st
+    """
+
+    sql["token_count_bpe"] = """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """
+
+    sql["doc_fingerprint"] = f"""
+        WITH {_TOKS},
+        salted AS (
+            SELECT doc_id, UNNEST(list_transform(tok, (t, i) -> i || ':' || t)) AS st
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(bit_xor(('0x' || substr(md5(st), 1, 15))::BIGINT) AS BIGINT) AS fingerprint
+        FROM salted GROUP BY doc_id
+    """
+
+    sql["simhash"] = f"""
+        WITH {_TOKS},
+        tk AS (SELECT doc_id, md5(UNNEST(tok)) AS h FROM toks),
+        tb AS (SELECT doc_id, h, UNNEST(range(60)) AS j FROM tk),
+        bits AS (
+            SELECT doc_id, j,
+                   ((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                    >> CAST(3 - j % 4 AS INT)) & 1 AS bit
+            FROM tb
+        ),
+        scores AS (SELECT doc_id, j, SUM(2 * bit - 1) AS score FROM bits GROUP BY doc_id, j)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN score > 0
+                             THEN (CAST(1 AS BIGINT) << CAST(59 - j AS INT))
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM scores GROUP BY doc_id
+    """
+
+    sql["minhash_signatures"] = f"""
+        WITH {_TOKS}, {_SHINGLES}, {_SIGS}
+        SELECT doc_id, sig_0, sig_1, sig_2, sig_3, sig_4, sig_5, sig_6, sig_7 FROM sigs
+    """
+
+    sql["minhash_lsh_pairs"] = f"""
+        WITH {_TOKS}, {_SHINGLES}, {_SIGS},
+        bands AS (
+            SELECT doc_id, 0 AS band, md5(sig_0 || '#' || sig_1) AS bh FROM sigs
+            UNION ALL SELECT doc_id, 1, md5(sig_2 || '#' || sig_3) FROM sigs
+            UNION ALL SELECT doc_id, 2, md5(sig_4 || '#' || sig_5) FROM sigs
+            UNION ALL SELECT doc_id, 3, md5(sig_6 || '#' || sig_7) FROM sigs
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id
+    """
+
+    sql["ngram_jaccard_pairs"] = f"""
+        WITH {_TOKS}, {_SHINGLES},
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        com AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
+        FROM com
+        JOIN cnt ca ON com.doc_a = ca.doc_id
+        JOIN cnt cb ON com.doc_b = cb.doc_id
+        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+    """
+
+    sql["embed_cosine_topk"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 50),
+        s AS (
+            SELECT q.qid, n.vec_id AS nid,
+                   list_dot_product(q.qe, n.e) / (q.qn * n.nrm) AS cos
+            FROM q, n WHERE n.vec_id <> q.qid
+        ),
+        r AS (
+            SELECT qid, nid, cos,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+            FROM s
+        )
+        SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank,
+               ROUND(cos, 6) AS cosine
+        FROM r WHERE rn <= 5
+    """
+
+    sql["embed_centroids"] = """
+        SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+               ROUND(AVG(val), 6) AS centroid
+        FROM (
+            SELECT label,
+                   UNNEST(embedding::DOUBLE[]) AS val,
+                   UNNEST(range(len(embedding))) AS dim
+            FROM embeddings
+        )
+        GROUP BY 1, 2
+    """
+
+    sql["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 6) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY 1, 2
+    """
+
+    sql["top_orders_revenue"] = """
+        SELECT o_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY 1
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """
+
+    sql["nation_revenue"] = """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+    """
+
+    return sql

@@ -1,0 +1,266 @@
+"""Text analysis + deduplication over a documents table (doc_id, text).
+
+All operators are pure ``pyspark.sql.functions`` column expressions —
+JVM-side, whole-stage-codegen, zero Python in the hot path. Each has an
+exact ANSI-SQL twin in ``__spark_entry__.oracle_sql`` (DuckDB), so the
+driver value-hashes Spark vs DuckDB per query.
+
+Design notes for 100 TB:
+* tokenization/shingling stay inside codegen (split/transform); the
+  explode for shingle-level ops multiplies rows ~|tokens| — partitioned by
+  doc_id, no shuffle until the aggregation.
+* MinHash-LSH dedup is the scale path: candidate generation is a
+  band-signature groupBy (shuffle keyed on the band hash — bounded
+  fan-out), never an all-pairs join. The n-gram Jaccard verifier only runs
+  on candidate pairs.
+* hashes are md5-derived (deterministic, partition-invariant, identical
+  across engines); min() over md5 hex strings is a binary-collation min in
+  both Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+_HEX = "0123456789abcdef"
+
+
+def md5_prefix_long(col: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative bigint (60 bits).
+
+    DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties dropped.
+
+    DuckDB twin: ``list_filter(regexp_split_to_array(x, ' +'), t -> t <> '')``.
+    """
+    return F.filter(F.split(text, " +"), lambda t: t != "")
+
+
+def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens, n_chars, stopword_ratio, punct_ratio, quality,
+    pred_lang columns (SURVEY brief: token counting, quality scoring,
+    language-ID heuristic)."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    n_punct = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9 ]"))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    quality = (
+        stop_ratio * F.lit(0.4)
+        + F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - punct_ratio) * F.lit(0.2)
+    )
+    pred_lang = F.when(stop_ratio > 0.03, F.lit("en")).otherwise(F.lit("und"))
+    return docs.select(
+        "*",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars_m"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality"),
+        pred_lang.alias("pred_lang"),
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token proxy: count of [A-Za-z]+ | [0-9]+ | single other
+    non-space runs (same regex in Java and RE2 basic syntax)."""
+    return F.regexp_count(text, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive document fingerprint (rolling-hash flavor):
+    bit_xor over tokens of md5_long('pos:token') — position-salted so
+    reorderings change the fingerprint; associative so the aggregation is
+    shuffle-partial-friendly.
+
+    DuckDB twin uses ``list_transform(toks, (t, i) -> i || ':' || t)``
+    (1-based index — the Spark side uses i+1 to match).
+    """
+    salted = F.transform(
+        tokens(F.col(text_col)),
+        lambda t, i: F.concat((i + 1).cast("string"), F.lit(":"), t),
+    )
+    ex = docs.select("doc_id", F.explode(salted).alias("salted_tok"))
+    return (
+        ex.select("doc_id", md5_prefix_long(F.col("salted_tok")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.bit_xor("h").alias("fingerprint"))
+    )
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5(text) groups → (text_hash, n_docs, canonical_doc_id)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles.
+
+    DuckDB twin: list_distinct(list_transform(range(1, len-k+2),
+    i -> toks[i] || ' ' || ... )).
+    """
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )
+    grams = F.when(F.size(toks) >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams)
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingles."""
+    return docs.select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+
+
+def minhash_signatures(
+    doc_sh: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{H-1}): per-salt minimum of md5('h|shingle').
+
+    One groupBy over the exploded shingles computes all H minima at once
+    (map-side partial min → tiny shuffle).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(f"sig_{h}")
+        for h in range(num_hashes)
+    ]
+    return doc_sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any band signature.
+
+    Band b hashes rows [b*r, (b+1)*r) of the signature; candidates are
+    generated with a band-keyed self-grouping (shuffle on the band hash),
+    NEVER an all-pairs join — this is what survives 10^10 documents.
+    Returns distinct (doc_a, doc_b), doc_a < doc_b.
+    """
+    r = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * r + j}") for j in range(r)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("#", *parts)).alias("bh"))
+        )
+    exploded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a = exploded.select("band", "bh", F.col("doc_id").alias("doc_a"))
+    b = exploded.select("band", "bh", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    doc_sh: DataFrame, threshold: float = 0.5, restrict_pairs: DataFrame | None = None
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard over distinct shingles.
+
+    Candidates = pairs sharing ≥1 shingle (or ``restrict_pairs``);
+    J = common / (|A| + |B| − common). Returns (doc_a, doc_b, jaccard).
+    """
+    counts = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = doc_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = doc_sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    if restrict_pairs is not None:
+        common = common.join(restrict_pairs, ["doc_a", "doc_b"], "left_semi")
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 60) -> DataFrame:
+    """SimHash fingerprint from token md5 bits (first ``bits`` bits ≤ 60 so
+    the result stays a non-negative bigint).
+
+    For bit j: nibble = hex value of md5(token)[j/4], bit = (nibble >>
+    (3 − j%4)) & 1; score_j = Σ_tokens (2·bit − 1); output bit j = score_j
+    > 0. Exploding (token × bit) keeps everything in codegen; the
+    (doc, j) aggregation is one shuffle.
+    """
+    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    toks = toks.withColumn("h", F.md5(F.col("tok")))
+    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    tb = toks.select("doc_id", "h", j)
+    bit = F.expr(
+        "shiftright(instr('0123456789abcdef', substr(h, cast(j/4 as int)+1, 1)) - 1,"
+        " cast(3 - j % 4 as int)) & 1"
+    )
+    scored = tb.select("doc_id", "j", (bit * 2 - 1).alias("s"))
+    return (
+        scored.groupBy("doc_id", "j")
+        .agg(F.sum("s").alias("score"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN score > 0 THEN shiftleft(CAST(1 AS BIGINT),"
+                f" CAST({bits - 1} - j AS INT)) ELSE CAST(0 AS BIGINT) END"
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("simhash"))
+    )
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 20) -> DataFrame:
+    """SimHash near-dup candidates: bucket by the top ``prefix_bits`` bits
+    (hub-bounded shuffle key), verify Hamming distance ≤ max_hamming via
+    bit_count(xor) inside the bucket."""
+    bucketed = sim.withColumn(
+        "bucket", F.shiftright(F.col("simhash"), 60 - prefix_bits)
+    )
+    a = bucketed.select("bucket", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = bucketed.select("bucket", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,189 @@
+"""Similarity search over an embedding column (vec_id, embedding:array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set against the full vector table. The dot product is a sequential
+  ``F.aggregate`` fold over ``F.zip_with`` — left-to-right like DuckDB's
+  ``list_dot_product`` on DOUBLE[], so Spark and the SQL oracle produce
+  bit-identical doubles (both sides cast float32 → double first).
+* ``lsh_ann_topk`` — the scale path: sign-random-projection LSH. Hyperplane
+  signs are derived from md5 bits (deterministic, partition-invariant);
+  vectors sharing a bucket are candidates; exact cosine re-ranks inside the
+  bucket. Probing all single-bit-flip neighbor buckets bounds the recall
+  loss. The candidate join is keyed on the bucket id — bounded fan-out,
+  no all-pairs join, which is what survives 10^10 vectors.
+* ``label_centroids`` — per-label mean vector via posexplode (one shuffle
+  keyed (label, dim)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    """Sequential left-to-right dot product fold (order-deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_norm(vecs: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    emb = _as_double(F.col(emb_col))
+    return vecs.select(
+        "*", F.sqrt(_dot(emb, emb)).alias("_norm")
+    )
+
+
+def cosine_topk(
+    vecs: DataFrame,
+    n_queries: int = 50,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` ids.
+
+    Returns (query_id, neighbor_id, rank, cosine). Deterministic ranking:
+    (cosine desc, neighbor_id asc).
+    """
+    base = with_norm(vecs, emb_col).select(
+        F.col(id_col).alias("nid"),
+        _as_double(F.col(emb_col)).alias("nemb"),
+        F.col("_norm").alias("nnorm"),
+    )
+    queries = (
+        base.filter(F.col("nid") < n_queries)
+        .select(
+            F.col("nid").alias("qid"),
+            F.col("nemb").alias("qemb"),
+            F.col("nnorm").alias("qnorm"),
+        )
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            (_dot(F.col("qemb"), F.col("nemb")) / (F.col("qnorm") * F.col("nnorm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "cosine",
+        )
+    )
+
+
+def _plane_sign(emb_col, plane: int, dim: int):
+    """±1 pseudo-random hyperplane component from md5 bits: component i of
+    plane p = +1 if bit (i%60) of md5_long('p:i') is even parity... —
+    concretely: sign = 1 if hex nibble of md5('p:i') first char >= 8."""
+    # per-component deterministic sign: first hex char of md5("p:i")
+    signs = [
+        1.0
+        if int(__import__("hashlib").md5(f"{plane}:{i}".encode()).hexdigest()[0], 16) >= 8
+        else -1.0
+        for i in range(dim)
+    ]
+    arr = F.array(*[F.lit(s) for s in signs])
+    return _dot(emb_col, arr)
+
+
+def lsh_ann_topk(
+    vecs: DataFrame,
+    n_queries: int = 50,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k via sign-random-projection buckets + 1-bit probing.
+
+    Plane signs are a pure function of (plane, component) — computed on the
+    driver once (n_planes × dim literals), evaluated JVM-side per row.
+    """
+    base = with_norm(vecs, emb_col).select(
+        F.col(id_col).alias("nid"),
+        _as_double(F.col(emb_col)).alias("nemb"),
+        F.col("_norm").alias("nnorm"),
+    )
+    sig_bits = [
+        F.when(_plane_sign(F.col("nemb"), p, dim) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in range(n_planes)
+    ]
+    bucket = sig_bits[0] * 0
+    for i, b in enumerate(sig_bits):
+        bucket = bucket + F.shiftleft(b.cast("long"), n_planes - 1 - i)
+    hashed = base.withColumn("bucket", bucket).localCheckpoint(eager=True)
+
+    queries = hashed.filter(F.col("nid") < n_queries).select(
+        F.col("nid").alias("qid"),
+        F.col("nemb").alias("qemb"),
+        F.col("nnorm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[
+                F.col("qbucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                for i in range(n_planes)
+            ],
+        )
+        queries = queries.select(
+            "qid", "qemb", "qnorm", F.explode(probes).alias("bucket")
+        )
+    else:
+        queries = queries.withColumnRenamed("qbucket", "bucket")
+
+    scored = (
+        hashed.join(F.broadcast(queries), "bucket")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            (_dot(F.col("qemb"), F.col("nemb")) / (F.col("qnorm") * F.col("nnorm"))).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates(["qid", "nid"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "cosine",
+        )
+    )
+
+
+def label_centroids(vecs: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """(label, dim, centroid) — mean embedding component per label."""
+    ex = vecs.select(
+        "label", F.posexplode(_as_double(F.col(emb_col))).alias("dim", "v")
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(F.avg("v").alias("centroid"))
+        .select(F.col("label").cast("long").alias("label"), F.col("dim").cast("long").alias("dim"), "centroid")
+    )

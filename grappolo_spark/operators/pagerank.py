@@ -10,6 +10,15 @@ Scale notes: the one unavoidable shuffle per iteration is the
 ``groupBy(dst)`` contribution sum. Edges are cached with the
 rank-distribution factor ``w/wdeg(src)`` precomputed (reference seed: the
 degree normalization A1/A2, ``utilityClusteringFunctions.cpp:115-180``).
+
+Dangling vertices (no rows in a symmetric edge table) receive no
+contributions, so they all carry one identical rank — tracked as a driver
+scalar instead of DataFrame rows. That removes a join + a collect per
+iteration and shrinks the working set to the non-dangling vertices; the
+dangling rows are materialized once at the end. D_k = n_dangling * r_d(k)
+with r_d(k+1) = (1-a)/NV + a*D_k/NV — exactly the uniform-redistribution
+semantics of the numpy oracle.
+
 Lineage is cut with ``localCheckpoint`` every ``checkpoint_every``
 iterations so 100-iteration runs keep constant-size plans.
 """
@@ -30,7 +39,7 @@ def pagerank(
     checkpoint_every: int = 5,
     checkpoint=None,
 ) -> tuple[DataFrame, int]:
-    """Returns ((vid, rank) DataFrame, iterations run).
+    """Returns ((vid, rank) DataFrame over all nv vertices, iterations run).
 
     ``nv`` is the dense vertex-space size (isolated vertices included —
     they are dangling and receive only redistribution mass).
@@ -43,18 +52,19 @@ def pagerank(
         .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("factor"))
         .localCheckpoint(eager=True)
     )
-
-    vertices = spark.range(nv).select(F.col("id").alias("vid"))
-    non_dangling = deg.select(F.col("src").alias("vid"))
-    dangling = vertices.join(non_dangling, "vid", "left_anti").localCheckpoint(eager=True)
+    vertices = deg.select(F.col("src").alias("vid")).localCheckpoint(eager=True)
+    n_live = vertices.count()
+    n_dangling = nv - n_live
 
     start_iter = 0
     ranks = None
+    r_d = 1.0 / nv
     if checkpoint is not None:
         state = checkpoint.load_latest("pagerank")
         if state is not None:
             ranks = state.dataframes["ranks"]
             start_iter = state.meta["iteration"]
+            r_d = state.meta["dangling_rank"]
     if ranks is None:
         ranks = vertices.select("vid", F.lit(1.0 / nv).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
@@ -62,45 +72,48 @@ def pagerank(
     iters = start_iter
     for it in range(start_iter, max_iter):
         iters = it + 1
-        dmass = (
-            ranks.join(dangling, "vid").agg(F.sum("rank")).collect()[0][0] or 0.0
-        )
+        dmass = n_dangling * r_d
         contrib = (
             trans.join(ranks, trans.src == ranks.vid)
             .select(F.col("dst").alias("vid"), (F.col("factor") * F.col("rank")).alias("c"))
             .groupBy("vid")
             .agg(F.sum("c").alias("contrib"))
         )
-        new_ranks = (
-            vertices.join(contrib, "vid", "left")
-            .select(
-                "vid",
-                (
-                    F.lit((1.0 - alpha) / nv)
-                    + F.lit(alpha)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dmass / nv))
-                ).alias("rank"),
-            )
+        new_ranks = vertices.join(contrib, "vid", "left").select(
+            "vid",
+            (
+                F.lit((1.0 - alpha) / nv)
+                + F.lit(alpha)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dmass / nv))
+            ).alias("rank"),
         )
-        if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-        else:
-            new_ranks = new_ranks.cache()
+        new_ranks = new_ranks.localCheckpoint(eager=True)
+        new_r_d = (1.0 - alpha) / nv + alpha * (dmass / nv)
 
         delta = (
             new_ranks.alias("n")
             .join(ranks.alias("o"), "vid")
             .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
             .collect()[0][0]
+            or 0.0
         )
+        delta = max(delta, abs(new_r_d - r_d))
         ranks.unpersist()
         ranks = new_ranks
+        r_d = new_r_d
         if checkpoint is not None and (it + 1) % checkpoint_every == 0:
             checkpoint.save(
                 "pagerank",
-                meta={"iteration": it + 1, "delta": float(delta)},
+                meta={"iteration": it + 1, "delta": float(delta),
+                      "dangling_rank": float(r_d)},
                 dataframes={"ranks": ranks},
             )
         if delta < tol:
             break
+
+    if n_dangling > 0:
+        all_v = spark.range(nv).select(F.col("id").alias("vid"))
+        ranks = all_v.join(ranks, "vid", "left").select(
+            "vid", F.coalesce("rank", F.lit(r_d)).alias("rank")
+        )
     return ranks, iters

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""N-vs-4N scaling evidence (north rule; reference protocol SURVEY §3.2).
+
+The reference's strong-scaling harness re-runs the identical graph at
+2,4,8,... threads (``driverForGraphClustering.cpp:142-176``). The sandbox
+has one machine, so the two "cluster sizes" are two local parallelism
+levels: ``local[8]`` (N) vs ``local[32]`` (4N) — same input, same code.
+
+Each run happens in a fresh subprocess (one JVM cannot host two masters)
+and executes a fixed superstep workload over the transcript-derived edge
+table: PAGERANK_ITERS PageRank supersteps + one capped Louvain phase.
+Throughput = edge-rows-processed / second across those supersteps.
+
+    python scripts/scaling_bench.py [n_convs]     # default 150000
+
+Writes BENCH.md at the repo root with both throughputs and the scaling
+efficiency  eff = (thr_4N / thr_N) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+PAGERANK_ITERS = 5
+LOUVAIN_INNER = 5
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from grappolo_spark.session import get_spark
+from grappolo_spark.synth import synth_transcripts
+from grappolo_spark.etl import build_edges
+from grappolo_spark.operators.pagerank import pagerank
+from grappolo_spark.operators.louvain import louvain_phase
+
+n_convs = %(n_convs)d
+spark = get_spark("scaling-bench",
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+
+tr = synth_transcripts(spark, n_convs=n_convs, max_turns=20)
+edges, turns, tools = build_edges(tr)
+edges = edges.localCheckpoint(eager=True)
+n_rows = edges.count()
+nv = turns.count() + tools.count()
+
+# warm the JVM/codegen outside the timed section
+pagerank(spark, edges, nv, tol=0.0, max_iter=1)
+
+t0 = time.time()
+pagerank(spark, edges, nv, tol=0.0, max_iter=%(pr_iters)d)
+res = louvain_phase(spark, edges, nv, max_inner=%(lv_inner)d)
+res.c.count()
+elapsed = time.time() - t0
+supersteps = %(pr_iters)d + res.num_iters
+print(json.dumps({
+    "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+    "edge_rows": n_rows, "nv": nv,
+    "supersteps": supersteps, "seconds": round(elapsed, 2),
+    "edges_per_sec": round(n_rows * supersteps / elapsed, 1),
+}))
+spark.stop()
+"""
+
+
+def run_at(cpus: int, n_convs: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    code = WORKER % {
+        "repo": str(REPO), "n_convs": n_convs,
+        "pr_iters": PAGERANK_ITERS, "lv_inner": LOUVAIN_INNER,
+    }
+    t0 = time.time()
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=3600,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"cpus={cpus} failed:\n{out.stderr[-3000:]}")
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    res["wall_total"] = round(time.time() - t0, 1)
+    return res
+
+
+def main():
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 150000
+    results = {}
+    for cpus in (8, 32):
+        print(f"running local[{cpus}] ...", flush=True)
+        results[cpus] = run_at(cpus, n_convs)
+        print(f"  {results[cpus]}", flush=True)
+
+    thr8, thr32 = results[8]["edges_per_sec"], results[32]["edges_per_sec"]
+    eff = (thr32 / thr8) / 4.0
+    md = f"""# BENCH — N vs 4N scaling evidence
+
+North rule: throughput scaling efficiency >= 0.8 between N and 4N
+executors. No real cluster exists in this sandbox, so per the round
+instructions the same job runs at two parallelism levels — ``local[8]``
+(N) and ``local[32]`` (4N) — on the SAME deterministic input, mirroring
+the reference's own strong-scaling protocol
+(``driverForGraphClustering.cpp:142-176``: identical graph re-run at
+doubling thread counts).
+
+## Workload
+
+Transcript corpus: ``synth_transcripts(n_convs={n_convs}, max_turns=20)``
+→ ``build_edges`` → {results[32]["edge_rows"]:,} symmetric edge rows,
+{results[32]["nv"]:,} vertices. Timed section: {PAGERANK_ITERS} PageRank
+supersteps + one Louvain phase capped at {LOUVAIN_INNER} local-move sweeps
+(JVM warmed by an untimed iteration first). Throughput =
+edge_rows x supersteps / seconds.
+
+## Results
+
+| cluster size | supersteps | seconds | edges/sec |
+| --- | --- | --- | --- |
+| N = local[8] | {results[8]["supersteps"]} | {results[8]["seconds"]} | {thr8:,.0f} |
+| 4N = local[32] | {results[32]["supersteps"]} | {results[32]["seconds"]} | {thr32:,.0f} |
+
+**Speedup 8→32: {thr32 / thr8:.2f}x — scaling efficiency {eff:.2f}**
+(eff = (thr_4N / thr_N) / 4).
+
+Caveat: this is strong scaling inside ONE JVM on one machine — the 4N run
+shares memory bandwidth and the Python driver with the N run's layout. On
+a real 4N-executor cluster the per-superstep shuffles (hash-partitioned by
+vertex/community key, AQE-coalesced) add bisection bandwidth with node
+count, which is the regime the >=0.8 target describes.
+
+Reproduce: ``python scripts/scaling_bench.py {n_convs}``.
+"""
+    (REPO / "BENCH.md").write_text(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
