@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .lineage import cut_lineage
+
 EDGE_COLS = ("src", "dst", "weight")
 
 
@@ -42,7 +44,7 @@ def assign_dense_ids(
     parted = distinct.repartitionByRange(nparts, *key_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    parted = parted.localCheckpoint(eager=True)  # pin partition assignment
+    parted = parted.transform(cut_lineage)  # pin partition assignment
 
     counts = {r["_pid"]: r["count"] for r in parted.groupBy("_pid").count().collect()}
     offsets, acc = {}, start
@@ -153,6 +155,16 @@ def graph_stats(edges: DataFrame) -> dict:
         "var_degree": row["var_degree"],
         "degree_one_vertices": row["degree_one"],
     }
+
+
+def build_old2new_map(c: DataFrame) -> DataFrame:
+    """Pack vertices so same-community vertices get contiguous new ids
+    (ref W3 ``buildOld2NewMap``, ``utilityFunctions.cpp:540-629`` — the
+    matrix-reordering permutation, SURVEY §3.3). Returns (vid, new_vid).
+
+    Uses the scalable two-pass rank, not a global window."""
+    m = assign_dense_ids(c.select("comm", "vid"), ["comm", "vid"], "new_vid")
+    return m.select("vid", "new_vid")
 
 
 def validate_symmetric(edges: DataFrame) -> None:

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..lineage import cut_lineage
+
 
 def connected_components(
     spark: SparkSession,
@@ -27,7 +29,7 @@ def connected_components(
     checkpoint=None,
 ) -> tuple[DataFrame, int]:
     """Returns ((vid, component) DataFrame, rounds run)."""
-    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst").localCheckpoint(eager=True)
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst").transform(cut_lineage)
     labels = spark.range(nv).select(F.col("id").alias("vid"), F.col("id").alias("comp"))
 
     start_iter = 0
@@ -36,7 +38,7 @@ def connected_components(
         if state is not None:
             labels = state.dataframes["labels"]
             start_iter = state.meta["iteration"]
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(cut_lineage)
 
     rounds = start_iter
     for it in range(start_iter, max_iter):
@@ -60,7 +62,7 @@ def connected_components(
         new_labels = (
             stepped.join(jump, stepped.comp == jump.jvid)
             .select("vid", F.col("jcomp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         changed = (
             new_labels.alias("n")

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..lineage import cut_lineage
+
 
 def label_propagation(
     spark: SparkSession,
@@ -26,7 +28,7 @@ def label_propagation(
     checkpoint=None,
 ) -> tuple[DataFrame, int]:
     """Returns ((vid, label) DataFrame, rounds run)."""
-    e = edges.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    e = edges.filter(F.col("src") != F.col("dst")).transform(cut_lineage)
     labels = spark.range(nv).select(F.col("id").alias("vid"), F.col("id").alias("label"))
 
     start_iter = 0
@@ -35,7 +37,7 @@ def label_propagation(
         if state is not None:
             labels = state.dataframes["labels"]
             start_iter = state.meta["iteration"]
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(cut_lineage)
 
     rounds = start_iter
     for it in range(start_iter, max_iter):
@@ -55,7 +57,7 @@ def label_propagation(
         new_labels = (
             labels.join(best, "vid", "left")
             .select("vid", F.coalesce("new_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         changed = (
             new_labels.alias("n")

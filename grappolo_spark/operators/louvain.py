@@ -46,6 +46,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..lineage import cut_lineage
+
 
 # ---------------------------------------------------------------------------
 # building blocks
@@ -113,6 +115,158 @@ def _gain(eiy, eix, deg_i, ay, ax, const):
     return (F.lit(2.0) * (eiy - eix)) - (F.lit(2.0) * deg_i * (ay - ax) * const)
 
 
+def _apply_sampling(target, sample_pct, it):
+    """Approx-variant mask (ref C5): unsampled vertices keep sc this sweep.
+    pmod ≡ Python %, and both xxhash args are LONG (xxh64 oracle contract).
+    """
+    if sample_pct is None:
+        return target
+    mask = (
+        F.pmod(
+            F.xxhash64(F.col("vid").cast("long"), F.lit(int(it)).cast("long")),
+            F.lit(100),
+        )
+        < F.lit(sample_pct)
+    )
+    return target.select(
+        "vid",
+        F.when(mask, F.col("comm")).otherwise(F.col("sc")).alias("comm"),
+        "sc",
+        "own_w",
+    )
+
+
+def _iter_stats(target, info):
+    """One job for the whole iteration's bookkeeping off the checkpointed
+    target: snapshot-modularity terms (e_xx = Σ own-community weight,
+    ref ``vectorizedLouvainMethod.cpp:281-295``; a2_x = Σ a_c²) + move count.
+    """
+    return (
+        target.agg(
+            F.sum("own_w").alias("e_xx"),
+            F.sum(F.when(F.col("comm") != F.col("sc"), 1).otherwise(0)).alias("moved"),
+        )
+        .crossJoin(info.agg(F.sum(F.col("c_degree") * F.col("c_degree")).alias("a2_x")))
+        .collect()[0]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow/CSR-block sweep kernel (the reference's vectorized path, SURVEY §2.10)
+# ---------------------------------------------------------------------------
+
+def _arrow_sweep_kernel(const: float):
+    """Per-block numpy argmax over candidate (vertex, community) rows.
+
+    This is the engine twin of the reference's AVX-512 gain argmax
+    (``utilityClusteringFunctions.cpp:869-950``): the block's candidate
+    rows arrive as one Arrow batch, and the whole gain + argmax +
+    tie-break + swap-protection pipeline runs vectorized in numpy — zero
+    per-row Python. Bit-identical to the DataFrame path: the gain
+    expression keeps the reference's association order, and the
+    (-gain, cid) lexsort reproduces the max-gain/min-cid tie-break.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def sweep(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) == 0:
+            return pd.DataFrame({"vid": pd.Series(dtype="int64"),
+                                 "comm": pd.Series(dtype="int64"),
+                                 "sc": pd.Series(dtype="int64"),
+                                 "own_w": pd.Series(dtype="float64")})
+        vid = pdf["vid"].to_numpy(np.int64)
+        sc = pdf["sc"].to_numpy(np.int64)
+        cd = pdf["comm_dst"].to_numpy(np.int64)
+        eiy = pdf["eiy"].to_numpy(np.float64)
+        deg = pdf["degree"].to_numpy(np.float64)
+        selfw = pdf["self_w"].to_numpy(np.float64)
+        axf = pdf["ax_full"].to_numpy(np.float64)
+        ssc = pdf["size_sc"].to_numpy(np.int64)
+        ay = pdf["ay"].to_numpy(np.float64)
+        sy = pdf["size_y"].to_numpy(np.int64)
+
+        uvid, first_idx = np.unique(vid, return_index=True)
+        u_sc = sc[first_idx]
+
+        # per-vertex own-community weight (counter[sc]; 0 if no such row)
+        own_mask = cd == sc
+        own_vid, own_w_arr = vid[own_mask], eiy[own_mask]
+        o = np.argsort(own_vid)
+        own_vid, own_w_arr = own_vid[o], own_w_arr[o]
+        pos = np.searchsorted(own_vid, uvid)
+        safe = np.minimum(pos, max(len(own_vid) - 1, 0))
+        has = (pos < len(own_vid)) & (
+            own_vid[safe] == uvid if len(own_vid) else np.zeros(len(uvid), bool)
+        )
+        u_own = np.where(has, own_w_arr[safe] if len(own_vid) else 0.0, 0.0)
+
+        # row-level eix/ax via the per-vertex own weight
+        row_pos = np.searchsorted(uvid, vid)
+        row_own = u_own[row_pos]
+        eix = row_own - selfw
+        ax = axf - deg
+        # reference gain, association order preserved (:746)
+        gain = (2.0 * (eiy - eix)) - (2.0 * deg * (ay - ax) * const)
+
+        mask = (cd != sc) & (gain > 0.0)
+        v2, g2, c2 = vid[mask], gain[mask], cd[mask]
+        sy2, ssc2, sc2 = sy[mask], ssc[mask], sc[mask]
+        u_target = u_sc.copy()
+        if len(v2):
+            order = np.lexsort((c2, -g2, v2))
+            v2o = v2[order]
+            first = np.ones(len(v2o), bool)
+            first[1:] = v2o[1:] != v2o[:-1]
+            wi = order[first]
+            wv, wc = v2[wi], c2[wi]
+            # singleton swap protection (ref :757-759)
+            swap = (sy2[wi] == 1) & (ssc2[wi] == 1) & (wc > sc2[wi])
+            final_c = np.where(swap, sc2[wi], wc)
+            u_target[np.searchsorted(uvid, wv)] = final_c
+
+        return pd.DataFrame(
+            {"vid": uvid, "comm": u_target, "sc": u_sc, "own_w": u_own}
+        )
+
+    return sweep
+
+
+def _sweep_arrow(cand, curr, deg, selfw, info, const, nblocks):
+    """Build the target assignment with the Arrow kernel: one grouped-map
+    pass replaces the scored→best→target join chain of the DataFrame path.
+    """
+    state = (
+        curr.withColumnRenamed("comm", "sc")
+        .join(deg, "vid")
+        .join(selfw, "vid", "left")
+        .join(
+            info.select(F.col("comm").alias("sc"),
+                        F.col("c_degree").alias("ax_full"),
+                        F.col("c_size").alias("size_sc")),
+            "sc",
+        )
+        .select("vid", "sc", "degree",
+                F.coalesce("self_w", F.lit(0.0)).alias("self_w"),
+                "ax_full", "size_sc")
+    )
+    joined = (
+        cand.withColumnRenamed("src", "vid")
+        .join(
+            info.select(F.col("comm").alias("comm_dst"),
+                        F.col("c_degree").alias("ay"),
+                        F.col("c_size").alias("size_y")),
+            "comm_dst",
+        )
+        .join(state, "vid")
+        .withColumn("block", F.col("vid") % F.lit(nblocks))
+    )
+    return joined.groupBy("block").applyInPandas(
+        _arrow_sweep_kernel(const),
+        "vid long, comm long, sc long, own_w double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # phase
 # ---------------------------------------------------------------------------
@@ -175,20 +329,34 @@ def louvain_phase(
     max_inner: int = 25,
     checkpoint=None,
     phase_tag: str = "phase",
+    method: str = "dataframe",
+    sample_pct: float | None = None,
 ) -> PhaseResult:
-    """One Louvain phase with exact reference SFP-path semantics."""
-    edges = edges.localCheckpoint(eager=True)
+    """One Louvain phase with exact reference SFP-path semantics.
+
+    ``method``: "dataframe" = pure whole-stage-codegen join/agg sweep;
+    "arrow" = Arrow-batched numpy argmax kernel (the reference's own
+    vectorized-path split, ``vectorizedLouvainMethod.cpp``) — bit-identical
+    results, fewer stages per superstep.
+
+    ``sample_pct``: Approx variant (ref C5, ``parallelLouvainMethodApprox.
+    cpp:139-155``): only vertices with pmod(xxhash64(vid, iter), 100) <
+    pct evaluate moves this iteration (deterministic, partition-invariant;
+    the reference's rand()%NV draw is scheduler-dependent — documented
+    deviation, engine ≡ oracle by shared spec).
+    """
+    edges = edges.transform(cut_lineage)
     deg = (
         edges.groupBy(F.col("src").alias("vid"))
         .agg(F.sum("weight").alias("degree"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     two_m = deg.agg(F.sum("degree")).collect()[0][0] or 0.0
     const = 1.0 / two_m if two_m > 0 else 0.0
     # self-loop weight per vertex is static across iterations
     selfw = edges.filter(F.col("src") == F.col("dst")).select(
         F.col("src").alias("vid"), F.col("weight").alias("self_w")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
 
     start_iter = 0
     curr = None
@@ -199,7 +367,7 @@ def louvain_phase(
             start_iter = state.meta["iteration"]
     if curr is None:
         curr = louvain_init(edges, deg, const)
-    curr = curr.localCheckpoint(eager=True)
+    curr = curr.transform(cut_lineage)
 
     prev_mod = -1.0
     change = False
@@ -220,6 +388,37 @@ def louvain_phase(
             .cache()
         )
 
+        if method == "arrow":
+            target = _apply_sampling(
+                _sweep_arrow(
+                    cand, curr, deg, selfw, info, const,
+                    spark.sparkContext.defaultParallelism,
+                ),
+                sample_pct, num_iters,
+            ).transform(cut_lineage)
+            stats = _iter_stats(target, info)
+            curr_mod = (stats["e_xx"] or 0.0) * const - (stats["a2_x"] or 0.0) * const * const
+            trajectory.append(curr_mod)
+            moved = stats["moved"] or 0
+            info.unpersist()
+            cand.unpersist()
+            if moved > 0:
+                change = True
+            if moved == 0 or num_iters >= max_inner:
+                break
+            prev_mod = max(curr_mod, lower)
+            new_curr = target.select("vid", "comm").transform(cut_lineage)
+            curr.unpersist()
+            curr = new_curr
+            if checkpoint is not None:
+                checkpoint.save(
+                    phase_tag,
+                    meta={"iteration": num_iters, "modularity": float(curr_mod),
+                          "moved": int(moved)},
+                    dataframes={"c": curr},
+                )
+            continue
+
         # own-community weight (counter[sc], self-loop included) per vertex
         own = (
             curr.withColumnRenamed("comm", "sc")
@@ -235,18 +434,6 @@ def louvain_phase(
             .select("vid", "sc", F.coalesce("own_w", F.lit(0.0)).alias("own_w"))
         )
 
-        # modularity from the iteration-start snapshot (ref :281-295);
-        # both global sums in ONE job via crossJoin of 1-row aggregates
-        mrow = (
-            own.agg(F.sum("own_w").alias("e_xx"))
-            .crossJoin(info.agg(F.sum(F.col("c_degree") * F.col("c_degree")).alias("a2_x")))
-            .collect()[0]
-        )
-        e_xx = mrow["e_xx"] or 0.0
-        a2_x = mrow["a2_x"] or 0.0
-        curr_mod = e_xx * const - a2_x * const * const
-        trajectory.append(curr_mod)
-
         # J2+A5: gain per candidate community, argmax with min-cid ties
         base = (
             own.join(deg, "vid")
@@ -257,7 +444,7 @@ def louvain_phase(
             )
             .join(selfw, "vid", "left")
             .select(
-                "vid", "sc", "degree", "size_sc",
+                "vid", "sc", "degree", "size_sc", "own_w",
                 (F.col("own_w") - F.coalesce("self_w", F.lit(0.0))).alias("eix"),
                 (F.col("ax_full") - F.col("degree")).alias("ax"),
             )
@@ -304,11 +491,16 @@ def louvain_phase(
                 .otherwise(F.col("cand_comm"))
                 .alias("comm"),
                 F.col("sc"),
+                F.col("own_w"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lambda t: _apply_sampling(t, sample_pct, num_iters))
+            .transform(cut_lineage)
         )
 
-        moved = target.filter(F.col("comm") != F.col("sc")).count()
+        stats = _iter_stats(target, info)
+        curr_mod = (stats["e_xx"] or 0.0) * const - (stats["a2_x"] or 0.0) * const * const
+        trajectory.append(curr_mod)
+        moved = stats["moved"] or 0
         info.unpersist()
         cand.unpersist()
         if moved > 0:
@@ -318,7 +510,7 @@ def louvain_phase(
             break
 
         prev_mod = max(curr_mod, lower)
-        new_curr = target.select("vid", "comm").localCheckpoint(eager=True)
+        new_curr = target.select("vid", "comm").transform(cut_lineage)
         curr.unpersist()
         curr = new_curr
         if checkpoint is not None:
@@ -347,6 +539,174 @@ def louvain_phase(
 # multi-phase driver
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# color-staged (Gauss-Seidel) phase — ref C6
+# ---------------------------------------------------------------------------
+
+def louvain_phase_colored(
+    spark: SparkSession,
+    edges: DataFrame,
+    nv: int,
+    colors: DataFrame,
+    thresh: float = 1e-2,
+    max_inner: int = 25,
+) -> PhaseResult:
+    """One color-staged Louvain phase (``parallelLouvainWithColoring.cpp:
+    158-262`` semantics, deterministic thanks to the deterministic JP
+    coloring): singleton init; within an iteration the color classes are
+    processed in ascending order, each class's moves applied in place and
+    community info refreshed before the next class (Gauss-Seidel); the
+    modularity is computed after the full sweep; stop when
+    (currMod − prevMod) < thresh, when nothing moved, or at max_inner.
+
+    Returns the post-sweep assignment (unlike the Jacobi basic phase, which
+    returns the pre-sweep one) — matching the in-place reference variant.
+    Oracle twin: ``oracle.coloring_np.louvain_phase_colored_np``.
+    """
+    edges = edges.transform(cut_lineage)
+    deg = (
+        edges.groupBy(F.col("src").alias("vid"))
+        .agg(F.sum("weight").alias("degree"))
+        .transform(cut_lineage)
+    )
+    two_m = deg.agg(F.sum("degree")).collect()[0][0] or 0.0
+    const = 1.0 / two_m if two_m > 0 else 0.0
+    selfw = edges.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("vid"), F.col("weight").alias("self_w")
+    ).transform(cut_lineage)
+
+    verts = deg.select("vid")
+    # edges pre-tagged with the source's color class: the per-class filter
+    # prunes the candidate join to the class frontier only
+    e_col = edges.join(
+        colors.select(F.col("vid").alias("src"), F.col("color").alias("k_src")), "src"
+    ).transform(cut_lineage)
+    n_colors = colors.join(verts, "vid").agg(F.max("color")).collect()[0][0]
+    n_colors = int(n_colors) + 1 if n_colors is not None else 0
+
+    curr = verts.select("vid", F.col("vid").alias("comm")).transform(cut_lineage)
+    prev_mod = -1.0
+    change = False
+    num_iters = 0
+    trajectory = []
+
+    while True:
+        num_iters += 1
+        moved_total = 0
+        for k in range(n_colors):
+            info = comm_info(curr, deg)
+            cdst = curr.select(F.col("vid").alias("dst"), F.col("comm").alias("comm_dst"))
+            cand = (
+                e_col.filter(F.col("k_src") == k)
+                .join(cdst, "dst")
+                .groupBy("src", "comm_dst")
+                .agg(F.sum("weight").alias("eiy"))
+            )
+            own = (
+                curr.join(colors, "vid").filter(F.col("color") == k)
+                .select("vid", F.col("comm").alias("sc"))
+                .join(
+                    cand.select(
+                        F.col("src").alias("vid"),
+                        F.col("comm_dst").alias("sc"),
+                        F.col("eiy").alias("own_w"),
+                    ),
+                    ["vid", "sc"],
+                    "left",
+                )
+                .select("vid", "sc", F.coalesce("own_w", F.lit(0.0)).alias("own_w"))
+            )
+            base = (
+                own.join(deg, "vid")
+                .join(
+                    info.select(F.col("comm").alias("sc"),
+                                F.col("c_degree").alias("ax_full"),
+                                F.col("c_size").alias("size_sc")),
+                    "sc",
+                )
+                .join(selfw, "vid", "left")
+                .select(
+                    "vid", "sc", "degree", "size_sc",
+                    (F.col("own_w") - F.coalesce("self_w", F.lit(0.0))).alias("eix"),
+                    (F.col("ax_full") - F.col("degree")).alias("ax"),
+                )
+            )
+            scored = (
+                cand.withColumnRenamed("src", "vid")
+                .join(base, "vid")
+                .filter(F.col("comm_dst") != F.col("sc"))
+                .join(
+                    info.select(F.col("comm").alias("comm_dst"),
+                                F.col("c_degree").alias("ay"),
+                                F.col("c_size").alias("size_y")),
+                    "comm_dst",
+                )
+                .select(
+                    "vid", "sc", "comm_dst", "size_sc", "size_y",
+                    _gain(F.col("eiy"), F.col("eix"), F.col("degree"),
+                          F.col("ay"), F.col("ax"), F.lit(const)).alias("gain"),
+                )
+            )
+            best = (
+                scored.filter(F.col("gain") > 0)
+                .groupBy("vid")
+                .agg(
+                    F.max_by(
+                        F.struct("comm_dst", "size_y"),
+                        F.struct(F.col("gain"), -F.col("comm_dst")),
+                    ).alias("b")
+                )
+                .select("vid", F.col("b.comm_dst").alias("cand_comm"),
+                        F.col("b.size_y").alias("cand_size"))
+            )
+            moves = (
+                base.join(best, "vid")
+                .filter(
+                    ~(
+                        (F.col("cand_size") == 1)
+                        & (F.col("size_sc") == 1)
+                        & (F.col("cand_comm") > F.col("sc"))
+                    )
+                )
+                .select("vid", F.col("cand_comm").alias("new_comm"))
+            )
+            new_curr = (
+                curr.join(moves, "vid", "left")
+                .select("vid", F.coalesce("new_comm", F.col("comm")).alias("comm"))
+                .transform(cut_lineage)
+            )
+            n_moves = moves.count()
+            moved_total += n_moves
+            curr.unpersist()
+            curr = new_curr
+
+        # modularity after the full sweep (all classes applied)
+        cdst = curr.select(F.col("vid").alias("dst"), F.col("comm").alias("comm_dst"))
+        csrc = curr.select(F.col("vid").alias("src"), F.col("comm").alias("comm_src"))
+        info = comm_info(curr, deg)
+        mrow = (
+            edges.join(csrc, "src").join(cdst, "dst")
+            .filter(F.col("comm_src") == F.col("comm_dst"))
+            .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("e_xx"))
+            .crossJoin(info.agg(F.sum(F.col("c_degree") * F.col("c_degree")).alias("a2_x")))
+            .collect()[0]
+        )
+        curr_mod = (mrow["e_xx"] or 0.0) * const - (mrow["a2_x"] or 0.0) * const * const
+        trajectory.append(curr_mod)
+        if moved_total:
+            change = True
+        if moved_total == 0 or (curr_mod - prev_mod) < thresh or num_iters >= max_inner:
+            break
+        prev_mod = curr_mod
+
+    all_v = spark.range(nv).select(F.col("id").alias("vid"))
+    c_full = (
+        all_v.join(curr, "vid", "left")
+        .select("vid", F.coalesce("comm", F.lit(-1)).alias("comm"))
+    )
+    return PhaseResult(c_full, prev_mod, num_iters, change, trajectory)
+
+
 @dataclass
 class LouvainResult:
     c: DataFrame            # (vid, comm) over the ORIGINAL vertex space
@@ -366,13 +726,28 @@ def louvain(
     max_total_iters: int = 100000,
     max_inner: int = 25,
     checkpoint=None,
+    driver_tail_nv: int = 16384,
+    driver_tail_edges: int = 2_000_000,
+    method: str = "dataframe",
 ) -> LouvainResult:
     """Multi-phase Louvain (``runMultiPhaseBasic.cpp:66-204`` semantics).
 
     Same extra guard as the oracle: when a phase leaves every vertex in its
     own community the coarse graph is a fixpoint, so the loop exits with
     output identical to the reference's 200-phase spin.
+
+    **Driver-tail fallback**: coarsening shrinks the graph geometrically;
+    after a phase or two the coarse graph is thousands of vertices —
+    running distributed supersteps on it is pure scheduling overhead. When
+    the coarse graph fits ``driver_tail_nv`` / ``driver_tail_edges`` the
+    remaining phases run single-node via the numpy oracle, which implements
+    the *identical* contract (proven exact vs the compiled reference binary
+    in tests/golden). Same small-graph gate the reference applies with
+    ``minGraphSize`` (``runMultiPhaseColoring.cpp:174``); results are
+    bit-identical either way (tests/test_louvain.py covers the seam).
+    Set ``driver_tail_nv=0`` to force fully-distributed phases.
     """
+    from grappolo_spark.oracle.numpy_oracle import louvain_multiphase_np
     g_edges, g_nv = edges, nv
     c_orig = None
     prev_mod = -1.0
@@ -387,11 +762,12 @@ def louvain(
         res = louvain_phase(
             spark, g_edges, g_nv, lower=curr_mod, max_inner=max_inner,
             checkpoint=checkpoint, phase_tag=f"louvain_phase_{phase}",
+            method=method,
         )
         curr_mod = res.modularity
         tot_iters += res.num_iters
         c, num_clusters = renumber(res.c)
-        c = c.localCheckpoint(eager=True)
+        c = c.transform(cut_lineage)
         phase_mods.append(curr_mod)
 
         if phase == 1:
@@ -404,7 +780,7 @@ def louvain(
                 c_orig.withColumnRenamed("comm", "comm_prev")
                 .join(proj, "comm_prev", "left")
                 .select("vid", F.coalesce("comm_new", F.col("comm_prev")).alias("comm"))
-                .localCheckpoint(eager=True)
+                .transform(cut_lineage)
             )
 
         if phase > max_phases or tot_iters > max_total_iters:
@@ -412,9 +788,33 @@ def louvain(
         if num_clusters == g_nv:
             break  # coarsening fixpoint
         if res.change:
-            g_edges = coarsen(g_edges, c).localCheckpoint(eager=True)
+            g_edges = coarsen(g_edges, c).transform(cut_lineage)
             g_nv = num_clusters
             phase += 1
+            if g_nv <= driver_tail_nv and g_edges.count() <= driver_tail_edges:
+                rows = [(r["src"], r["dst"], r["weight"]) for r in g_edges.collect()]
+                tail = louvain_multiphase_np(
+                    rows, g_nv, threshold=threshold,
+                    max_phases=max_phases - phase + 1,
+                    max_inner=max_inner, init_mod=curr_mod,
+                )
+                proj = spark.createDataFrame(
+                    list(enumerate(tail["C"])), "comm_prev long, comm_new long"
+                )
+                c_orig = (
+                    c_orig.withColumnRenamed("comm", "comm_prev")
+                    .join(F.broadcast(proj), "comm_prev", "left")
+                    .select("vid", F.coalesce("comm_new", F.col("comm_prev")).alias("comm"))
+                    .transform(cut_lineage)
+                )
+                return LouvainResult(
+                    c=c_orig,
+                    modularity=tail["modularity"],
+                    phases=phase - 1 + tail["phases"],
+                    total_iters=tot_iters + tail["total_iters"],
+                    num_clusters=tail["num_clusters"],
+                    trajectory=phase_mods + tail["trajectory"],
+                )
         else:
             break
 
@@ -425,4 +825,79 @@ def louvain(
         total_iters=tot_iters,
         num_clusters=num_clusters,
         trajectory=phase_mods,
+    )
+
+
+def louvain_coloring(
+    spark: SparkSession,
+    edges: DataFrame,
+    nv: int,
+    c_thresh: float = 1e-2,
+    threshold: float = 1e-6,
+    min_graph_size: int = 100000,
+    max_phases: int = 200,
+) -> LouvainResult:
+    """Multi-phase coloring driver (ref C12, ``runMultiPhaseColoring.cpp:
+    51-239``): while the graph is larger than ``min_graph_size``, run
+    color-staged phases at the cheap ``c_thresh`` (recoloring every coarse
+    graph, ``:174-199``); then hand the coarse graph to the basic driver at
+    the fine ``threshold`` (``:200-207``). The coloring stages exist to cut
+    superstep count on the huge first phases — exactly the regime of a
+    10^12-turn graph where the first phase dominates cost.
+
+    Oracle twin: ``oracle.coloring_np.louvain_coloring_np``.
+    """
+    from .coloring import distance1_coloring
+
+    g_edges, g_nv = edges, nv
+    c_orig = None
+    phases = 0
+    tot_iters = 0
+    trajectory = []
+
+    while g_nv > min_graph_size and phases < max_phases:
+        colors, _, _ = distance1_coloring(spark, g_edges, g_nv)
+        res = louvain_phase_colored(spark, g_edges, g_nv, colors, thresh=c_thresh)
+        phases += 1
+        tot_iters += res.num_iters
+        c, n_clusters = renumber(res.c)
+        c = c.transform(cut_lineage)
+        trajectory.append(res.modularity)
+        if c_orig is None:
+            c_orig = c
+        else:
+            proj = c.select(F.col("vid").alias("comm_prev"), F.col("comm").alias("comm_new"))
+            c_orig = (
+                c_orig.withColumnRenamed("comm", "comm_prev")
+                .join(proj, "comm_prev", "left")
+                .select("vid", F.coalesce("comm_new", F.col("comm_prev")).alias("comm"))
+                .transform(cut_lineage)
+            )
+        if not res.change or n_clusters == g_nv:
+            break
+        g_edges = coarsen(g_edges, c).transform(cut_lineage)
+        g_nv = n_clusters
+
+    fine = louvain(spark, g_edges, g_nv, threshold=threshold,
+                   max_phases=max_phases)
+    phases += fine.phases
+    tot_iters += fine.total_iters
+    trajectory.extend(fine.trajectory)
+    if c_orig is None:
+        c_orig = fine.c
+    else:
+        proj = fine.c.select(F.col("vid").alias("comm_prev"), F.col("comm").alias("comm_new"))
+        c_orig = (
+            c_orig.withColumnRenamed("comm", "comm_prev")
+            .join(proj, "comm_prev", "left")
+            .select("vid", F.coalesce("comm_new", F.col("comm_prev")).alias("comm"))
+        )
+    final_c, n_clusters = renumber(c_orig)
+    return LouvainResult(
+        c=final_c.transform(cut_lineage),
+        modularity=fine.modularity,
+        phases=phases,
+        total_iters=tot_iters,
+        num_clusters=n_clusters,
+        trajectory=trajectory,
     )

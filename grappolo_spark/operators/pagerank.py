@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..lineage import cut_lineage
+
 
 def pagerank(
     spark: SparkSession,
@@ -50,9 +52,9 @@ def pagerank(
     trans = (
         edges.join(deg, "src")
         .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("factor"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
-    vertices = deg.select(F.col("src").alias("vid")).localCheckpoint(eager=True)
+    vertices = deg.select(F.col("src").alias("vid")).transform(cut_lineage)
     n_live = vertices.count()
     n_dangling = nv - n_live
 
@@ -67,7 +69,7 @@ def pagerank(
             r_d = state.meta["dangling_rank"]
     if ranks is None:
         ranks = vertices.select("vid", F.lit(1.0 / nv).alias("rank"))
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.transform(cut_lineage)
 
     iters = start_iter
     for it in range(start_iter, max_iter):
@@ -87,7 +89,7 @@ def pagerank(
                 * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dmass / nv))
             ).alias("rank"),
         )
-        new_ranks = new_ranks.localCheckpoint(eager=True)
+        new_ranks = new_ranks.transform(cut_lineage)
         new_r_d = (1.0 - alpha) / nv + alpha * (dmass / nv)
 
         delta = (

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..lineage import cut_lineage
+
 
 def _oriented(edges: DataFrame) -> DataFrame:
     """Orient each undirected edge from lower (nbr_count, id) to higher."""
@@ -41,14 +43,14 @@ def triangles(
     spark: SparkSession, edges: DataFrame, nv: int
 ) -> tuple[DataFrame, int]:
     """Returns ((vid, triangles) DataFrame over all nv vertices, total)."""
-    o = _oriented(edges).localCheckpoint(eager=True)
+    o = _oriented(edges).transform(cut_lineage)
     e1 = o.select(F.col("a").alias("u"), F.col("b").alias("v"))
     e2 = o.select(F.col("a").alias("v"), F.col("b").alias("w"))
     wedges = e1.join(e2, "v").select("u", "v", "w")
     closed = wedges.join(
         o, (wedges.u == o.a) & (wedges.w == o.b)
     ).select("u", "v", "w")
-    closed = closed.localCheckpoint(eager=True)
+    closed = closed.transform(cut_lineage)
 
     total = closed.count()
     per_vertex = (

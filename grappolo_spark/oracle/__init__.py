@@ -9,3 +9,9 @@ from .numpy_oracle import (  # noqa: F401
     renumber_np,
     coarsen_np,
 )
+from .coloring_np import (  # noqa: F401
+    distance1_coloring_np,
+    louvain_phase_colored_np,
+    louvain_coloring_np,
+)
+from .xxh64 import xxhash64  # noqa: F401

@@ -1,0 +1,200 @@
+"""Oracle twins of the coloring path (engine spec, seeded by ref C14/C6/C12).
+
+Same contract as the engine, implemented independently with dict/loop code:
+
+* ``distance1_coloring_np`` — deterministic Jones–Plassmann with
+  priority (xxhash64(v), v); smallest-free-color first-fit for round
+  winners (ref first-fit ``coloringDistanceOne.cpp:137-150``; JP priority
+  replaces the ref's scheduling-dependent conflict re-queue).
+* ``louvain_phase_colored_np`` — Gauss-Seidel color-staged local moves
+  (ref ``parallelLouvainWithColoring.cpp:158-262``): singleton init, color
+  classes processed in ascending color order with community info refreshed
+  after every class, modularity computed after each full sweep over all
+  classes, stop when (currMod − prevMod) < thresh or no vertex moved.
+  Gain/tie-break/singleton-swap-protection identical to the basic path
+  (``utilityClusteringFunctions.cpp:729-762``).
+* ``louvain_coloring_np`` — the C12 driver (``runMultiPhaseColoring.cpp:
+  51-239``): colored phases at C_thresh while the graph is larger than
+  min_graph_size (recoloring every coarse graph), then basic phases at
+  threshold; renumber/project/coarsen between phases as in the basic path.
+"""
+
+from __future__ import annotations
+
+from .numpy_oracle import (
+    _argmax_community,
+    adjacency,
+    coarsen_np,
+    louvain_multiphase_np,
+    renumber_np,
+    vertex_degrees,
+)
+from .xxh64 import xxhash64
+
+
+def distance1_coloring_np(edges, nv, max_rounds=200):
+    """Returns (colors list, n_colors, rounds); no-edge vertices color 0."""
+    adj = adjacency(edges, nv)
+    prio = {v: (xxhash64(v), v) for v in range(nv)}
+    color = [None] * nv
+    for v in range(nv):
+        if not any(j != v for j, _ in adj[v]):
+            color[v] = 0
+    rounds = 0
+    while any(c is None for c in color) and rounds < max_rounds:
+        rounds += 1
+        winners = []
+        for v in range(nv):
+            if color[v] is not None:
+                continue
+            unc = [j for j, _ in adj[v] if j != v and color[j] is None]
+            if all(prio[v] > prio[j] for j in unc):
+                winners.append(v)
+        for v in winners:
+            used = {color[j] for j, _ in adj[v] if j != v and color[j] is not None}
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
+    n_colors = max(color) + 1 if nv else 0
+    return color, n_colors, rounds
+
+
+def louvain_phase_colored_np(edges, nv, colors, thresh=1e-2, max_inner=25):
+    """One color-staged (Gauss-Seidel) Louvain phase.
+
+    Returns (C, prev_mod, num_iters, change, trajectory) where C is the
+    assignment AFTER the final sweep (Gauss-Seidel semantics: moves are
+    already applied in place) and prev_mod is the modularity before it.
+    """
+    adj = adjacency(edges, nv)
+    deg = vertex_degrees(edges, nv)
+    two_m = sum(deg)
+    const = 1.0 / two_m if two_m > 0 else 0.0
+    n_colors = (max(colors) + 1) if nv else 0
+
+    curr = list(range(nv))
+    c_size = {i: 1 for i in range(nv)}
+    c_degree = {i: deg[i] for i in range(nv)}
+
+    prev_mod = -1.0
+    change = False
+    num_iters = 0
+    trajectory = []
+
+    while True:
+        num_iters += 1
+        moved_total = 0
+        for k in range(n_colors):
+            moves = []
+            for i in range(nv):
+                if colors[i] != k or not adj[i]:
+                    continue
+                sc = curr[i]
+                counter = {sc: 0.0}
+                self_loop = 0.0
+                for j, w in adj[i]:
+                    if j == i:
+                        self_loop += w
+                    counter[curr[j]] = counter.get(curr[j], 0.0) + w
+                eix = counter[sc] - self_loop
+                ax = c_degree.get(sc, 0.0) - deg[i]
+                max_index = _argmax_community(
+                    counter, sc, eix, ax, deg[i], const, c_degree
+                )
+                if (
+                    c_size.get(max_index, 0) == 1
+                    and c_size.get(sc, 0) == 1
+                    and max_index > sc
+                ):
+                    max_index = sc
+                if max_index != sc:
+                    moves.append((i, sc, max_index))
+            # apply this class's moves, refresh community info (ref :208-217)
+            for i, frm, to in moves:
+                curr[i] = to
+                c_degree[to] = c_degree.get(to, 0.0) + deg[i]
+                c_size[to] = c_size.get(to, 0) + 1
+                c_degree[frm] = c_degree.get(frm, 0.0) - deg[i]
+                c_size[frm] = c_size.get(frm, 0) - 1
+            moved_total += len(moves)
+
+        e_xx = 0.0
+        for i in range(nv):
+            for j, w in adj[i]:
+                if curr[i] == curr[j]:
+                    e_xx += w
+        a2_x = sum(d * d for d in c_degree.values())
+        curr_mod = e_xx * const - a2_x * const * const
+        trajectory.append(curr_mod)
+        if moved_total:
+            change = True
+        if (
+            moved_total == 0
+            or (curr_mod - prev_mod) < thresh
+            or num_iters >= max_inner
+        ):
+            break
+        prev_mod = curr_mod
+
+    # isolated vertices: -1, matching the basic-path convention
+    out = [c if adj[v] else -1 for v, c in enumerate(curr)]
+    return out, prev_mod, num_iters, change, trajectory
+
+
+def louvain_coloring_np(
+    edges,
+    nv,
+    c_thresh=1e-2,
+    threshold=1e-6,
+    min_graph_size=1,
+    max_phases=200,
+):
+    """C12 driver: colored phases at c_thresh while nv > min_graph_size,
+    then the basic multi-phase driver at threshold on the coarse graph."""
+    g_edges, g_nv = edges, nv
+    c_orig = None
+    phases = 0
+    total_iters = 0
+    trajectory = []
+    curr_mod = -1.0
+
+    while g_nv > min_graph_size and phases < max_phases:
+        colors, _, _ = distance1_coloring_np(g_edges, g_nv)
+        c, mod, iters, moved, _traj = louvain_phase_colored_np(
+            g_edges, g_nv, colors, thresh=c_thresh
+        )
+        phases += 1
+        total_iters += iters
+        c, n_clusters = renumber_np(c)
+        trajectory.append(mod)
+        if c_orig is None:
+            c_orig = c
+        else:
+            c_orig = [c[x] if x >= 0 else x for x in c_orig]
+        if not moved or n_clusters == g_nv:
+            break
+        g_edges, _ = coarsen_np(g_edges, c, n_clusters)
+        g_edges = [r for r in g_edges]
+        g_nv = n_clusters
+        curr_mod = mod
+
+    # finish with the basic driver at the fine threshold
+    res = louvain_multiphase_np(g_edges, g_nv, threshold=threshold)
+    phases += res["phases"]
+    total_iters += res["total_iters"]
+    trajectory.extend(res["trajectory"])
+    if c_orig is None:
+        c_orig = res["C"]
+    else:
+        cmap = res["C"]
+        c_orig = [cmap[x] if x >= 0 else x for x in c_orig]
+    final_c, n_clusters = renumber_np(c_orig)
+    return {
+        "C": final_c,
+        "modularity": res["modularity"],
+        "phases": phases,
+        "total_iters": total_iters,
+        "num_clusters": n_clusters,
+        "trajectory": trajectory,
+    }

@@ -122,11 +122,19 @@ def louvain_init_np(adj, deg, const, nv):
     return curr, c_size, c_degree
 
 
-def louvain_phase_np(edges, nv, lower=-1.0, max_inner=25):
+def louvain_phase_np(edges, nv, lower=-1.0, max_inner=25, sample_pct=None):
     """One Louvain phase with exact reference (SFP default path) semantics.
+
+    ``sample_pct``: the Approx variant (ref C5,
+    ``parallelLouvainMethodApprox.cpp:139-155``) — only a deterministic
+    per-iteration vertex subset evaluates moves (the reference draws
+    rand()%NV; the engine spec uses the partition-invariant mask
+    xxhash64(v, iter) % 100 < pct, mirrored here exactly).
 
     Returns (C, prev_mod, num_iters, change, mod_trajectory).
     """
+    from .xxh64 import xxhash64
+
     adj = adjacency(edges, nv)
     deg = vertex_degrees(edges, nv)
     two_m = sum(deg)
@@ -158,6 +166,11 @@ def louvain_phase_np(edges, nv, lower=-1.0, max_inner=25):
                 counter[curr[j]] = counter.get(curr[j], 0.0) + w
             e_xx += counter[sc]
 
+            if sample_pct is not None and (
+                xxhash64(i, num_iters) % 100 >= sample_pct
+            ):
+                target[i] = sc  # unsampled vertex: no move this iteration
+                continue
             eix = counter[sc] - self_loop
             ax = c_degree.get(sc, 0.0) - deg[i]
             max_index = _argmax_community(counter, sc, eix, ax, deg[i], const, c_degree)
@@ -229,7 +242,8 @@ def coarsen_np(edges, c, num_clusters):
 
 
 def louvain_multiphase_np(
-    edges, nv, threshold=1e-6, max_phases=200, max_total_iters=100000, max_inner=25
+    edges, nv, threshold=1e-6, max_phases=200, max_total_iters=100000,
+    max_inner=25, init_mod=-1.0,
 ):
     """Multi-phase Louvain driver (runMultiPhaseBasic semantics).
 
@@ -245,7 +259,9 @@ def louvain_multiphase_np(
     c_orig = [-1] * nv
     g_edges, g_nv = list(edges), nv
     prev_mod = -1.0
-    curr_mod = -1.0
+    # init_mod threads the previous phase's modularity in when this driver
+    # finishes a run started elsewhere (engine driver-tail fallback)
+    curr_mod = init_mod
     phase = 1
     tot_iters = 0
     num_clusters = 0
@@ -283,6 +299,36 @@ def louvain_multiphase_np(
         "num_clusters": num_clusters,
         "trajectory": phase_mods,
     }
+
+
+def vertex_following_np(edges, nv):
+    """Ref ``Utility/vertexFollowing.cpp:46-86``: isolated -> -1; degree-1
+    vertex i with sole neighbour t collapses onto t iff deg(t) > 1 or
+    i > t. Degree = adjacency row count (self-loop rows count once)."""
+    adj = adjacency(edges, nv)
+    c = list(range(nv))
+    moved = 0
+    for i in range(nv):
+        if not adj[i]:
+            c[i] = -1
+            moved += 1
+        elif len(adj[i]) == 1:
+            t = adj[i][0][0]
+            if t != i and (len(adj[t]) > 1 or i > t):
+                c[i] = t
+                moved += 1
+    return c, moved
+
+
+def build_new_graph_vf_np(edges, c, num_clusters):
+    """Coarsen under c, dropping self-loops (ref buildNewGraphVF)."""
+    agg = {}
+    for s, d, w in edges:
+        cs, cd = c[int(s)], c[int(d)]
+        if cs < 0 or cd < 0 or cs == cd:
+            continue
+        agg[(cs, cd)] = agg.get((cs, cd), 0.0) + float(w)
+    return sorted((s, d, w) for (s, d), w in agg.items()), num_clusters
 
 
 def modularity_np(edges, c, nv):

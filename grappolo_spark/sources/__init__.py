@@ -1,0 +1,13 @@
+from .loaders import (  # noqa: F401
+    read_edge_list,
+    read_matrix_market,
+    read_metis,
+    read_snap,
+)
+from .writers import (  # noqa: F401
+    append_results_csv,
+    write_edge_list,
+    write_matrix_market,
+    write_metis,
+    write_pajek,
+)

@@ -30,12 +30,13 @@ def _collect_c(df, nv):
 
 
 @pytest.mark.parametrize("name", PHASE_FIXTURES)
-def test_phase_exact(spark, name):
+@pytest.mark.parametrize("method", ["dataframe", "arrow"])
+def test_phase_exact(spark, name, method):
     edges, nv = fx.ALL_FIXTURES[name]()
     rows = fx.symmetric_rows(edges)
     df = fx.to_spark_edges(spark, edges)
     exp_c, exp_mod, exp_iters, exp_change, exp_traj = louvain_phase_np(rows, nv)
-    res = louvain_phase(spark, df, nv)
+    res = louvain_phase(spark, df, nv, method=method)
     assert _collect_c(res.c, nv) == exp_c, name
     assert res.modularity == exp_mod, name
     assert res.num_iters == exp_iters
@@ -44,12 +45,15 @@ def test_phase_exact(spark, name):
 
 
 @pytest.mark.parametrize("name", MULTI_FIXTURES)
-def test_multiphase_exact(spark, name):
+@pytest.mark.parametrize("tail_nv", [16384, 0])
+def test_multiphase_exact(spark, name, tail_nv):
+    # tail_nv=16384: phases after the first run via the driver-tail oracle
+    # fallback; tail_nv=0: fully-distributed phases. Both must be exact.
     edges, nv = fx.ALL_FIXTURES[name]()
     rows = fx.symmetric_rows(edges)
     df = fx.to_spark_edges(spark, edges)
     exp = louvain_multiphase_np(rows, nv)
-    got = louvain(spark, df, nv)
+    got = louvain(spark, df, nv, driver_tail_nv=tail_nv)
     assert _collect_c(got.c, nv) == exp["C"], name
     assert got.modularity == exp["modularity"], name
     assert got.phases == exp["phases"]
