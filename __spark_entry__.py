@@ -401,6 +401,52 @@ def _q_nation_revenue(spark, sf):
 
 # --- iterative graph algorithms (rows-only entries; pytest = exact gate) ---
 
+def _q_vertex_following(spark, sf):
+    from grappolo_spark.operators.vertex_following import vertex_following
+
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    c, _moved = vertex_following(spark, e, nv)
+    return c
+
+
+def _q_coloring(spark, sf):
+    from grappolo_spark.operators.coloring import distance1_coloring
+
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    colors, _n, _rounds = distance1_coloring(spark, e, nv)
+    return colors
+
+
+def _q_color_stats(spark, sf):
+    from grappolo_spark.operators.coloring import color_stats, distance1_coloring
+
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    colors, _n, _rounds = distance1_coloring(spark, e, nv)
+    return color_stats(colors).select(
+        "n_colors", "max_class", _r6("avg_class").alias("avg_class"),
+        _r6("var_class").alias("var_class"),
+    )
+
+
+def _q_louvain_colored(spark, sf):
+    from grappolo_spark.operators.louvain import louvain_coloring
+
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    res = louvain_coloring(spark, e, nv, min_graph_size=1)
+    return res.c
+
+
+def _q_louvain_arrow(spark, sf):
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    res = louvain(spark, e, nv, method="arrow")
+    return res.c
+
+
 def _q_pagerank(spark, sf):
     e = T.copurchase_edges(spark, sf)
     nv = T.copurchase_nv(spark, sf)
@@ -478,9 +524,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "top_orders_revenue": _q_top_orders,
         "nation_revenue": _q_nation_revenue,
+        # preprocessing (C17) — SQL-expressible single pass
+        "vertex_following": _q_vertex_following,
         # iterative graph algorithms — rows-only (pytest exactness gate)
         "pagerank": _q_pagerank,
         "louvain_communities": _q_louvain,
+        "louvain_arrow": _q_louvain_arrow,
+        "louvain_colored": _q_louvain_colored,
+        "graph_coloring": _q_coloring,
+        "color_stats": _q_color_stats,
         "label_propagation": _q_labelprop,
         "ann_lsh_topk": _q_ann_lsh,
         "multimodal_metadata": _q_multimodal_meta,
@@ -722,6 +774,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
         FROM seq WHERE prev_type IS NOT NULL
         GROUP BY 1, 2
+    """
+
+    sql["vertex_following"] = f"""
+        WITH {_EDGES},
+        degs AS (SELECT src AS vid, COUNT(*) AS n, MAX(dst) AS only_dst
+                 FROM edges GROUP BY src)
+        SELECT p.p_partkey AS vid,
+               CAST(CASE WHEN d.n IS NULL THEN -1
+                         WHEN d.n = 1 AND d.only_dst <> p.p_partkey
+                              AND (t.n > 1 OR p.p_partkey > d.only_dst)
+                         THEN d.only_dst
+                         ELSE p.p_partkey END AS BIGINT) AS comm
+        FROM part p
+        LEFT JOIN degs d ON p.p_partkey = d.vid
+        LEFT JOIN degs t ON d.only_dst = t.vid
     """
 
     _TR = T.TRANSCRIPTS_SQL_CTE

@@ -1,29 +1,33 @@
 """Distance-1 vertex coloring as deterministic DataFrame supersteps.
 
 Reference seed: ``algoDistanceOneVertexColoringOpt``
-(``coloringDistanceOne.cpp:50-233``) — speculative first-fit + conflict
-re-queue, where conflict losers are picked by a random value. That scheme
-is scheduling-dependent; the engine instead runs the classic
-Jones–Plassmann priority rule (public algorithm; the reference's own
-conflict resolution, ``coloringUtils.cpp:70-97``, is the same "random
-value decides" idea applied after the fact):
+(``coloringDistanceOne.cpp:50-233``) — speculative first-fit coloring,
+conflict detection, random-value loser re-queues. The engine runs the
+same speculative scheme but fully deterministic:
 
-* priority(v) = (xxhash64(v, seed), v) — partition-invariant, total order;
-* each round, every uncolored vertex that is a local priority maximum
-  among its UNCOLORED neighbours takes the smallest color absent from its
-  colored neighbourhood (first-fit, like the reference's ``:137-150``);
-* expected O(log NV) rounds; result is deterministic for a given seed —
-  the property the reference gets only per-run, we get always.
+* every uncolored vertex TENTATIVELY takes the smallest color absent from
+  its already-colored neighbourhood (first-fit, ref ``:137-150``);
+* a vertex KEEPS its tentative color unless an uncolored neighbour picked
+  the SAME tentative color with a higher priority — priority =
+  xxhash64(vid), which is a **bijection** on 64-bit ids (every step of
+  the single-lane XXH64 path — odd-constant multiply mod 2^64, rotl,
+  xor-shift — is invertible), so priorities are collision-free and no
+  vid tie-break is needed. This is the reference's
+  ``distanceOneConfResolution`` (``coloringUtils.cpp:70-97``) with the
+  random value made deterministic and partition-invariant;
+* losers re-queue for the next round; rounds repeat until all colored —
+  empirically a handful of rounds (conflicts only arise between
+  neighbours that picked the *same* color in the *same* round).
 
 The self-verification step of the reference (``:206-226``) is
 ``validate_coloring`` here (also used in tests).
 
-Scale: each round is one join (uncolored frontier ⋈ edges ⋈ state) + two
-aggregations, all hash-partitioned on vid; the frontier shrinks
-geometrically. The min-free-color search builds ``sequence(0, |used|)``
-per vertex — bounded by the colored-neighbour count, and only for
-local-max vertices, so hub rows stay bounded by their degree exactly like
-the reference's per-vertex ``Mark`` array (``coloringDistanceOne.cpp:110``).
+Scale: each round = two joins over the uncolored frontier's edges + two
+aggregations, hash-partitioned on vid; the frontier shrinks geometrically.
+The min-free-color search explodes ``sequence(0, n_colored)`` per
+uncolored vertex — bounded by its colored-degree, the same bound as the
+reference's per-vertex ``Mark`` array (``coloringDistanceOne.cpp:110``).
+Oracle twin: ``oracle.coloring_np.distance1_coloring_np``.
 """
 
 from __future__ import annotations
@@ -69,46 +73,54 @@ def distance1_coloring(
         unc = state.filter(F.col("color").isNull()).select(
             F.col("vid").alias("src"), F.col("prio").alias("p_src")
         )
-        nb = (
-            nbr.join(unc, "src")
-            .join(
-                state.select(
-                    F.col("vid").alias("dst"),
-                    F.col("color").alias("nb_color"),
-                    F.col("prio").alias("p_dst"),
-                ),
-                "dst",
-            )
+        nb = nbr.join(unc, "src").join(
+            state.select(
+                F.col("vid").alias("dst"), F.col("color").alias("nb_color")
+            ),
+            "dst",
         )
-        per_v = nb.groupBy("src", "p_src").agg(
-            F.max(
-                F.when(
-                    F.col("nb_color").isNull(),
-                    F.struct(F.col("p_dst").alias("p"), F.col("dst").alias("v")),
-                )
-            ).alias("max_unc"),
-            F.collect_set(F.col("nb_color")).alias("used"),
+        # tentative color: smallest not used by COLORED neighbours
+        # (min free <= colored-degree, so sequence(0, n_colored) covers it)
+        counts = nb.groupBy("src", "p_src").agg(
+            F.count(F.when(F.col("nb_color").isNotNull(), 1)).alias("n_colored")
         )
-        winners = per_v.filter(
-            F.col("max_unc").isNull()
-            | (F.struct(F.col("p_src").alias("p"), F.col("src").alias("v"))
-               > F.col("max_unc"))
+        cand_colors = counts.select(
+            "src", "p_src",
+            F.explode(F.sequence(F.lit(0), F.col("n_colored"))).alias("t"),
         )
-        # smallest free color: min free <= |used|, so sequence(0,|used|) covers it
-        assigned = winners.select(
-            F.col("src").alias("vid"),
-            F.element_at(
-                F.array_except(
-                    F.sequence(F.lit(0), F.size("used")), F.col("used")
-                ),
-                1,
-            ).alias("new_color"),
+        used = (
+            nb.filter(F.col("nb_color").isNotNull())
+            .select("src", F.col("nb_color").alias("t"))
+            .distinct()
+        )
+        tent = (
+            cand_colors.join(used, ["src", "t"], "left_anti")
+            .groupBy("src", "p_src")
+            .agg(F.min("t").alias("t"))
+        )
+        # conflict resolution: drop the tentative color iff an uncolored
+        # neighbour picked the SAME color with a higher (bijective) priority
+        t_dst = tent.select(
+            F.col("src").alias("dst"), F.col("t").alias("t_dst"),
+            F.col("p_src").alias("p_dst"),
+        )
+        conf = (
+            nbr.join(tent.withColumnRenamed("src", "_s"), nbr.src == F.col("_s"))
+            .join(t_dst, "dst")
+            .filter(F.col("t") == F.col("t_dst"))
+            .groupBy(F.col("_s").alias("src"))
+            .agg(F.max("p_dst").alias("mx"))
+        )
+        assigned = (
+            tent.join(conf, "src", "left")
+            .filter(F.col("mx").isNull() | (F.col("p_src") > F.col("mx")))
+            .select(F.col("src").alias("vid"), F.col("t").alias("new_color"))
         )
         state = (
             state.join(assigned, "vid", "left")
             .select(
                 "vid",
-                F.coalesce("color", "new_color").alias("color"),
+                F.coalesce("color", F.col("new_color").cast("int")).alias("color"),
                 "prio",
             )
             .transform(cut_lineage)

@@ -331,6 +331,7 @@ def louvain_phase(
     phase_tag: str = "phase",
     method: str = "dataframe",
     sample_pct: float | None = None,
+    hub_salt: int | None = None,
 ) -> PhaseResult:
     """One Louvain phase with exact reference SFP-path semantics.
 
@@ -344,6 +345,15 @@ def louvain_phase(
     pct evaluate moves this iteration (deterministic, partition-invariant;
     the reference's rand()%NV draw is scheduler-dependent — documented
     deviation, engine ≡ oracle by shared spec).
+
+    ``hub_salt``: explicit skew handling for hub vertices (the engine twin
+    of the reference GPU port's degree-binned execution,
+    ``binWiseGaussSeidel.cu:104-128``): the J1+A3 candidate aggregation
+    becomes two-stage — partial ``groupBy(src, comm_dst, salt)`` with
+    salt = pmod(xxhash64(dst), hub_salt) spreading one hub's rows over
+    ``hub_salt`` reducers, then a final re-agg on (src, comm_dst). Sum
+    values are identical for integer-valued weights (float64-exact); AQE's
+    skew-join handling covers the join side either way.
     """
     edges = edges.transform(cut_lineage)
     deg = (
@@ -381,12 +391,24 @@ def louvain_phase(
         # J1+A3: weight from each vertex to each neighbouring community
         # (self-loops included — they land in the own-community bucket)
         cdst = curr.select(F.col("vid").alias("dst"), F.col("comm").alias("comm_dst"))
-        cand = (
-            edges.join(cdst, "dst")
-            .groupBy("src", "comm_dst")
-            .agg(F.sum("weight").alias("eiy"))
-            .cache()
-        )
+        joined = edges.join(cdst, "dst")
+        if hub_salt:
+            # two-stage salted aggregation: spread hub keys over hub_salt
+            # reducers before the final combine (GPU degree-bin playbook)
+            salt = F.pmod(F.xxhash64(F.col("dst").cast("long")), F.lit(hub_salt))
+            cand = (
+                joined.groupBy("src", "comm_dst", salt.alias("_salt"))
+                .agg(F.sum("weight").alias("eiy"))
+                .groupBy("src", "comm_dst")
+                .agg(F.sum("eiy").alias("eiy"))
+                .cache()
+            )
+        else:
+            cand = (
+                joined.groupBy("src", "comm_dst")
+                .agg(F.sum("weight").alias("eiy"))
+                .cache()
+            )
 
         if method == "arrow":
             target = _apply_sampling(
@@ -729,6 +751,7 @@ def louvain(
     driver_tail_nv: int = 16384,
     driver_tail_edges: int = 2_000_000,
     method: str = "dataframe",
+    hub_salt: int | None = None,
 ) -> LouvainResult:
     """Multi-phase Louvain (``runMultiPhaseBasic.cpp:66-204`` semantics).
 
@@ -762,7 +785,7 @@ def louvain(
         res = louvain_phase(
             spark, g_edges, g_nv, lower=curr_mod, max_inner=max_inner,
             checkpoint=checkpoint, phase_tag=f"louvain_phase_{phase}",
-            method=method,
+            method=method, hub_salt=hub_salt,
         )
         curr_mod = res.modularity
         tot_iters += res.num_iters

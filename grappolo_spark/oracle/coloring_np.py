@@ -33,9 +33,16 @@ from .xxh64 import xxhash64
 
 
 def distance1_coloring_np(edges, nv, max_rounds=200):
-    """Returns (colors list, n_colors, rounds); no-edge vertices color 0."""
+    """Speculative deterministic coloring — engine-spec twin.
+
+    Per round: every uncolored vertex tentatively takes the min free color
+    w.r.t. colored neighbours; it keeps it unless an uncolored neighbour
+    picked the SAME tentative color with higher xxhash64 priority (the
+    hash is bijective on longs, so no ties). Returns (colors, n_colors,
+    rounds); no-edge vertices get color 0.
+    """
     adj = adjacency(edges, nv)
-    prio = {v: (xxhash64(v), v) for v in range(nv)}
+    prio = {v: xxhash64(v) for v in range(nv)}
     color = [None] * nv
     for v in range(nv):
         if not any(j != v for j, _ in adj[v]):
@@ -43,19 +50,22 @@ def distance1_coloring_np(edges, nv, max_rounds=200):
     rounds = 0
     while any(c is None for c in color) and rounds < max_rounds:
         rounds += 1
-        winners = []
+        tentative = {}
         for v in range(nv):
             if color[v] is not None:
                 continue
-            unc = [j for j, _ in adj[v] if j != v and color[j] is None]
-            if all(prio[v] > prio[j] for j in unc):
-                winners.append(v)
-        for v in winners:
             used = {color[j] for j, _ in adj[v] if j != v and color[j] is not None}
-            c = 0
-            while c in used:
-                c += 1
-            color[v] = c
+            t = 0
+            while t in used:
+                t += 1
+            tentative[v] = t
+        for v, t in tentative.items():
+            if all(
+                prio[v] > prio[j]
+                for j, _ in adj[v]
+                if j != v and tentative.get(j) == t
+            ):
+                color[v] = t
     n_colors = max(color) + 1 if nv else 0
     return color, n_colors, rounds
 

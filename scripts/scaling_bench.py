@@ -90,7 +90,9 @@ def run_at(cpus: int, n_convs: int) -> dict:
 
 
 def main():
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 150000
+    # default sized so per-superstep compute dominates scheduling overhead
+    # (at 150k convs the job is driver-latency-bound and does not scale)
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 1200000
     results = {}
     for cpus in (8, 32):
         print(f"running local[{cpus}] ...", flush=True)

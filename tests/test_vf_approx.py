@@ -51,6 +51,21 @@ def test_vf_pipeline_coarsens_without_self_loops(spark):
     assert new_edges.filter(F.col("src") == F.col("dst")).count() == 0
 
 
+@pytest.mark.parametrize("name", ["star_hub", "karate"])
+def test_hub_salted_phase_matches_oracle(spark, name):
+    # two-stage salted candidate aggregation must be value-identical
+    edges, nv = fx.ALL_FIXTURES[name]()
+    rows = fx.symmetric_rows(edges)
+    df = fx.to_spark_edges(spark, edges)
+    exp_c, exp_mod, exp_iters, _, exp_traj = louvain_phase_np(rows, nv)
+    res = louvain_phase(spark, df, nv, hub_salt=4)
+    got = {r["vid"]: r["comm"] for r in res.c.collect()}
+    assert [got[i] for i in range(nv)] == exp_c
+    assert res.trajectory == exp_traj
+    assert res.modularity == exp_mod
+    assert res.num_iters == exp_iters
+
+
 @pytest.mark.parametrize("method", ["dataframe", "arrow"])
 def test_approx_phase_matches_oracle(spark, method):
     edges, nv = fx.karate()
