@@ -474,6 +474,36 @@ def _q_ann_lsh(spark, sf):
     return out.select("query_id", "neighbor_id", "rank", _r6("cosine").alias("cosine"))
 
 
+def _q_directed_louvain(spark, sf):
+    """Directed Louvain (ref C8) over the DIRECTED transcript reply/tool
+    graph — the natural directed surface of the north-rule input."""
+    from grappolo_spark.etl import build_edges_directed
+    from grappolo_spark.operators.louvain_variants import directed_louvain
+
+    tr = T.transcripts_from_events(spark, sf)
+    edges, n_vertices = build_edges_directed(tr)
+    res = directed_louvain(spark, edges, n_vertices)
+    return res.c
+
+
+def _q_louvain_resistance(spark, sf):
+    from grappolo_spark.operators.louvain_variants import louvain_fasttrack_resistance
+
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    res = louvain_fasttrack_resistance(spark, e, nv)
+    return res.c
+
+
+def _q_coloring_maxmin(spark, sf):
+    from grappolo_spark.operators.coloring import maxmin_coloring
+
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    colors, _n, _rounds = maxmin_coloring(spark, e, nv)
+    return colors
+
+
 def _q_multimodal_meta(spark, sf):
     from grappolo_spark.functions import multimodal as MM
 
@@ -532,7 +562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_arrow": _q_louvain_arrow,
         "louvain_colored": _q_louvain_colored,
         "graph_coloring": _q_coloring,
+        "coloring_maxmin": _q_coloring_maxmin,
         "color_stats": _q_color_stats,
+        "directed_louvain": _q_directed_louvain,
+        "louvain_resistance": _q_louvain_resistance,
         "label_propagation": _q_labelprop,
         "ann_lsh_topk": _q_ann_lsh,
         "multimodal_metadata": _q_multimodal_meta,

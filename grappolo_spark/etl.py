@@ -42,13 +42,8 @@ def tool_vertices(transcripts: DataFrame, start: int) -> DataFrame:
     return assign_dense_ids(tools, ["tool"], "vid", start=start)
 
 
-def build_edges(transcripts: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Build the symmetrized edge table from a transcript table.
-
-    Returns (edges, turn_vertex_map, tool_vertex_map); edges is
-    ``(src:long, dst:long, weight:double)`` symmetric, deduped, no
-    self-loops (a turn never links to itself).
-    """
+def _directed_edges(transcripts: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(directed weighted edges, turn map, tool map) — shared core."""
     turns = turn_vertices(transcripts).cache()
     n_turns = turns.count()
     tools = tool_vertices(transcripts, start=n_turns).cache()
@@ -89,5 +84,25 @@ def build_edges(transcripts: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("weight"))
     )
+    return directed, turns, tools
+
+
+def build_edges(transcripts: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the symmetrized edge table from a transcript table.
+
+    Returns (edges, turn_vertex_map, tool_vertex_map); edges is
+    ``(src:long, dst:long, weight:double)`` symmetric, deduped, no
+    self-loops (a turn never links to itself).
+    """
+    directed, turns, tools = _directed_edges(transcripts)
     edges = symmetrize(directed)
     return edges, turns, tools
+
+
+def build_edges_directed(transcripts: DataFrame) -> tuple[DataFrame, int]:
+    """DIRECTED edge table (reply: turn→previous turn; tool: turn→tool)
+    with count weights — the input shape for the directed Louvain variant
+    (ref C8). Returns (edges, nv)."""
+    directed, turns, tools = _directed_edges(transcripts)
+    nv = turns.count() + tools.count()
+    return directed, nv

@@ -119,3 +119,28 @@ def to_spark_edges(spark, undirected_edges):
     """Symmetric edge DataFrame from an undirected fixture edge list."""
     rows = symmetric_rows(undirected_edges)
     return spark.createDataFrame(rows, "src long, dst long, weight double")
+
+
+def erdos_renyi(n, p_millis, seed):
+    """Deterministic pseudo-random graph (LCG, no external libs) — the
+    generator behind the tests/golden er_* fixtures."""
+    edges = []
+    state = seed
+    for u in range(n):
+        for v in range(u + 1, n):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            if (state >> 33) % 1000 < p_millis:
+                edges.append((u, v, 1.0))
+    return edges, n
+
+
+GOLDEN_CASES = {
+    "karate": lambda: karate(),
+    "two_cliques_bridge": lambda: two_cliques_bridge(),
+    "star_hub_100": lambda: star_hub(100),
+    "path_10": lambda: path_n(10),
+    "grid3d_4": lambda: grid3d(4),
+    "er_200_50": lambda: erdos_renyi(200, 50, 12345),
+    "er_500_20": lambda: erdos_renyi(500, 20, 99),
+    "er_1000_5": lambda: erdos_renyi(1000, 5, 7),
+}

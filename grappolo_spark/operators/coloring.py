@@ -158,3 +158,93 @@ def color_stats(colors: DataFrame) -> DataFrame:
         F.avg("class_size").alias("avg_class"),
         F.var_pop("class_size").alias("var_class"),
     )
+
+
+def maxmin_coloring(
+    spark: SparkSession,
+    edges: DataFrame,
+    nv: int,
+    n_hash: int = 4,
+    n_itrs: int = 2,
+) -> tuple[DataFrame, int, int]:
+    """Bounded-color MaxMin coloring (ref C15,
+    ``coloringMultiHashMaxMin.cpp:60-226``): nItrs x nHash rounds; in the
+    round for (itr, ihash) every still-uncolored vertex compares a per-hash
+    random value against its still-uncolored neighbours — a local max takes
+    color ``2*(itr*nHash+ihash)``, a local min takes ``+1`` (``:125-158``);
+    vertices left over keep the sentinel ``maxColor = 2*nHash*nItrs``
+    (``:88``) — the palette is bounded, leftovers may conflict, exactly as
+    in the reference.
+
+    Determinism: the reference draws per-hash random arrays
+    (``generateRandomNumbers2``); the engine uses the partition-invariant
+    ``xxhash64(vid, ihash)`` (signed-long comparisons; collision-free per
+    round because the seed-chained XXH64 lane is a bijection). Within a
+    round the reference's racy neighbour reads are benign — a neighbour
+    colored THIS round never satisfies ``color < currentColor``, so the
+    Jacobi (snapshot) evaluation here is semantics-identical.
+
+    Returns ((vid, color) over all nv, n_colored, rounds_run). Isolated
+    vertices are trivial local maxima and take color 0 in round 0.
+    Oracle twin: ``oracle.coloring_np.maxmin_coloring_np``.
+    """
+    max_color = 2 * n_hash * n_itrs
+    nbr = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .transform(cut_lineage)
+    )
+    verts = nbr.select(F.col("src").alias("vid")).distinct()
+    state = verts.select("vid", F.lit(max_color).alias("color")).transform(cut_lineage)
+
+    rounds = 0
+    for itr in range(n_itrs):
+        for ihash in range(n_hash):
+            cc = 2 * (itr * n_hash + ihash)
+            unc = state.filter(F.col("color") == max_color).select(
+                "vid",
+                F.xxhash64(F.col("vid").cast("long"),
+                           F.lit(int(ihash)).cast("long")).alias("h"),
+            )
+            if unc.limit(1).count() == 0:
+                break
+            rounds += 1
+            # inner joins keep only uncolored-uncolored neighbour pairs:
+            # neighbours colored in earlier rounds have color < cc and are
+            # skipped by the reference (:143-146)
+            u_src = unc.select(F.col("vid").alias("src"), F.col("h").alias("h_src"))
+            u_dst = unc.select(F.col("vid").alias("dst"), F.col("h").alias("h_dst"))
+            cmp = (
+                nbr.join(u_src, "src")
+                .join(u_dst, "dst")
+                .groupBy(F.col("src").alias("vid"))
+                .agg(
+                    F.max(F.when(F.col("h_src") <= F.col("h_dst"), 1).otherwise(0)).alias("not_max"),
+                    F.max(F.when(F.col("h_src") >= F.col("h_dst"), 1).otherwise(0)).alias("not_min"),
+                )
+            )
+            decide = (
+                unc.join(cmp, "vid", "left")
+                .select(
+                    "vid",
+                    # no uncolored neighbours -> vacuous local max (ref corner case)
+                    F.when(F.col("not_max").isNull() | (F.col("not_max") == 0), F.lit(cc))
+                    .when(F.col("not_min") == 0, F.lit(cc + 1))
+                    .alias("new_color"),
+                )
+            )
+            state = (
+                state.join(decide, "vid", "left")
+                .select("vid", F.coalesce("new_color", F.col("color")).alias("color"))
+                .transform(cut_lineage)
+            )
+        else:
+            continue
+        break
+
+    all_v = spark.range(nv).select(F.col("id").alias("vid"))
+    colors = all_v.join(state, "vid", "left").select(
+        "vid", F.coalesce("color", F.lit(0)).alias("color")
+    ).transform(cut_lineage)
+    n_colored = colors.filter(F.col("color") != max_color).count()
+    return colors, int(n_colored), rounds

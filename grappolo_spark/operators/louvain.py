@@ -429,7 +429,9 @@ def louvain_phase(
             if moved == 0 or num_iters >= max_inner:
                 break
             prev_mod = max(curr_mod, lower)
-            new_curr = target.select("vid", "comm").transform(cut_lineage)
+            # target is already a checkpointed LogicalRDD — the projection
+            # is free; re-checkpointing it would copy |V| rows per sweep
+            new_curr = target.select("vid", "comm")
             curr.unpersist()
             curr = new_curr
             if checkpoint is not None:
@@ -532,7 +534,7 @@ def louvain_phase(
             break
 
         prev_mod = max(curr_mod, lower)
-        new_curr = target.select("vid", "comm").transform(cut_lineage)
+        new_curr = target.select("vid", "comm")
         curr.unpersist()
         curr = new_curr
         if checkpoint is not None:

@@ -1,0 +1,357 @@
+"""Base-path Louvain variants: directed (ref C8) and FastTrackResistance
+(ref C9) — SURVEY §2.11.
+
+Both reference variants share the *base path* phase shape, which differs
+from the default SFP path (operators/louvain.py) in three ways:
+
+* plain singleton init (``initCommAss``), not the greedy neighbour pass
+  (``parallelDirectedLouvainMethod.cpp:124``,
+  ``parallelLouvainMethodFastTrackResistance.cpp``);
+* stop on modularity gain ``(currMod - prevMod) < thresh`` instead of the
+  moved-count test (``parallelDirectedLouvainMethod.cpp:220-223``);
+* the phase returns ``pastCommAss`` — the assignment the SECOND-to-last
+  sweep read (double-buffer swap ``parallelDirectedLouvainMethod.cpp:
+  236-241``, epilogue ``:263-266``: "we are interested in the previous
+  assignment").
+
+Directed (``parallelDirectedLouvainMethod.cpp:47-280``): the sweep runs
+over the OUT-adjacency only, degrees are out-degrees, and the modularity
+constant is doubled — ``calConstantForSecondTerm`` (1/Σdeg_out = 1/m) ×2
+(``:225-227``).  ``vDegreeIn``/``cInfoIn`` are computed by the reference
+but never used in the move logic. Vertices with no out-edges are assigned
+-1 every sweep (``:174-176``).
+
+  Documented deviation: from the second sweep on, the reference reads
+  ``currCommAss[j] == -1`` for out-isolated neighbours j and then indexes
+  ``cInfo[-1]`` — undefined behaviour in C++. The engine (and the numpy
+  oracle, by shared spec) excludes candidate communities with id < 0; on
+  graphs where every vertex has at least one out-edge (e.g. symmetric
+  tables, or transcript reply graphs restricted to live turns) the two
+  semantics coincide exactly.
+
+FastTrackResistance (``parallelLouvainMethodFastTrackResistance.cpp:
+47-302``, runner ``runMultiPhaseBasicFastTrackResistance.cpp:60-160``):
+the sweep/gain is UNCHANGED; each iteration additionally computes the
+Granell-Arenas resistance ``r_min = -(2m)/Nd * Q`` with
+``Nd = N - (1/N)*Σ n_s²`` and the AFG-adjusted modularity
+``Q_AFG = (2m*Q + r_min*Nd) / (2m - N*r_min)`` (``:192-218``).  Phase 1
+exits on the plain threshold; later phases exit when ``Q_AFG == 0``
+(``:233-242``); the driver coarsens while ``Q_AFG != 0`` with caps
+200 phases / 10000 total iterations (``:113-119,142``).
+
+  Exactness note on Σ n_s²: the reference's incrementally-updated
+  ``cInfo[i].size`` keeps a size-1 slot for every isolated vertex forever
+  (``cUpdate`` skips -1 targets), so the engine adds ``n_isolated`` to
+  the fresh ``Σ size²`` recompute — bit-identical with integer weights.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lineage import cut_lineage
+from .louvain import _gain, coarsen, comm_info, renumber
+
+
+@dataclass
+class BasePhaseResult:
+    c: DataFrame            # (vid, comm) over all nv — pastCommAss semantics
+    modularity: float       # prevMod at exit (Lower-clamped)
+    num_iters: int
+    trajectory: list = field(default_factory=list)
+    r_min: float = 0.0      # resistance variant only
+    q_afg: float = -1.0     # resistance variant only
+    fin_mod: float = -1.0   # resistance variant only (currMod at exit)
+
+
+def _base_phase(
+    spark: SparkSession,
+    edges: DataFrame,
+    nv: int,
+    const_factor: float,
+    thresh: float,
+    lower: float,
+    max_inner: int,
+    resistance_phase: int | None = None,
+) -> BasePhaseResult:
+    """One base-path phase over the rows of ``edges`` treated as the
+    out-adjacency (symmetric rows → undirected semantics; directed rows →
+    the directed variant). ``const_factor`` scales 1/Σdeg (1.0 undirected
+    → 1/2m; 2.0 directed → 1/m). ``resistance_phase`` switches on the
+    r_min/Q_AFG bookkeeping and, when > 1, the Q_AFG==0 exit rule.
+    """
+    edges = edges.transform(cut_lineage)
+    deg = (
+        edges.groupBy(F.col("src").alias("vid"))
+        .agg(F.sum("weight").alias("degree"))
+        .transform(cut_lineage)
+    )
+    sum_deg = deg.agg(F.sum("degree")).collect()[0][0] or 0.0
+    const = const_factor / sum_deg if sum_deg > 0 else 0.0
+    n_live = deg.count()
+    n_iso = nv - n_live
+    selfw = edges.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("vid"), F.col("weight").alias("self_w")
+    ).transform(cut_lineage)
+
+    verts_all = spark.range(nv).select(F.col("id").alias("vid")).transform(cut_lineage)
+    init = verts_all.select("vid", F.col("vid").alias("comm"))
+    past = init            # pastCommAss
+    past_df = init
+    curr = init            # currCommAss — always covers all nv rows
+
+    prev_mod = -1.0
+    num_iters = 0
+    trajectory = []
+    r_min = 0.0
+    q_afg = -1.0
+    curr_mod = -1.0
+
+    while True:
+        num_iters += 1
+        info = comm_info(curr, deg).cache()
+
+        cdst = curr.select(F.col("vid").alias("dst"), F.col("comm").alias("comm_dst"))
+        cand = (
+            edges.join(cdst, "dst")
+            .groupBy("src", "comm_dst")
+            .agg(F.sum("weight").alias("eiy"))
+            .cache()
+        )
+        own = (
+            curr.withColumnRenamed("comm", "sc")
+            .join(deg, "vid")  # restrict the sweep to vertices with out-rows
+            .join(
+                cand.select(
+                    F.col("src").alias("vid"),
+                    F.col("comm_dst").alias("sc"),
+                    F.col("eiy").alias("own_w"),
+                ),
+                ["vid", "sc"],
+                "left",
+            )
+            .select("vid", "sc", "degree",
+                    F.coalesce("own_w", F.lit(0.0)).alias("own_w"))
+        )
+        base = (
+            own.join(
+                info.select(F.col("comm").alias("sc"),
+                            F.col("c_degree").alias("ax_full"),
+                            F.col("c_size").alias("size_sc")),
+                "sc",
+            )
+            .join(selfw, "vid", "left")
+            .select(
+                "vid", "sc", "degree", "size_sc", "own_w",
+                (F.col("own_w") - F.coalesce("self_w", F.lit(0.0))).alias("eix"),
+                (F.col("ax_full") - F.col("degree")).alias("ax"),
+            )
+        )
+        scored = (
+            cand.withColumnRenamed("src", "vid")
+            # comm_dst >= 0 guards the reference's cInfo[-1] UB (see module doc)
+            .filter(F.col("comm_dst") >= 0)
+            .join(base, "vid")
+            .filter(F.col("comm_dst") != F.col("sc"))
+            .join(
+                info.select(F.col("comm").alias("comm_dst"),
+                            F.col("c_degree").alias("ay"),
+                            F.col("c_size").alias("size_y")),
+                "comm_dst",
+            )
+            .select(
+                "vid", "sc", "comm_dst", "size_sc", "size_y",
+                _gain(F.col("eiy"), F.col("eix"), F.col("degree"),
+                      F.col("ay"), F.col("ax"), F.lit(const)).alias("gain"),
+            )
+        )
+        best = (
+            scored.filter(F.col("gain") > 0)
+            .groupBy("vid")
+            .agg(
+                F.max_by(
+                    F.struct("comm_dst", "size_y"),
+                    F.struct(F.col("gain"), -F.col("comm_dst")),
+                ).alias("b")
+            )
+            .select("vid", F.col("b.comm_dst").alias("cand_comm"),
+                    F.col("b.size_y").alias("cand_size"))
+        )
+        target = (
+            base.join(best, "vid", "left")
+            .select(
+                "vid",
+                F.when(F.col("cand_comm").isNull(), F.col("sc"))
+                .when(  # singleton swap protection (ref :757-759)
+                    (F.col("cand_size") == 1)
+                    & (F.col("size_sc") == 1)
+                    & (F.col("cand_comm") > F.col("sc")),
+                    F.col("sc"),
+                )
+                .otherwise(F.col("cand_comm"))
+                .alias("comm"),
+                "sc",
+                "own_w",
+            )
+            .transform(cut_lineage)
+        )
+
+        stats = (
+            target.agg(
+                F.sum("own_w").alias("e_xx"),
+                F.sum(F.when(F.col("comm") != F.col("sc"), 1).otherwise(0)).alias("moved"),
+            )
+            .crossJoin(info.agg(
+                F.sum(F.col("c_degree") * F.col("c_degree")).alias("a2_x"),
+                F.sum(F.col("c_size") * F.col("c_size")).alias("n_c"),
+            ))
+            .collect()[0]
+        )
+        curr_mod = (stats["e_xx"] or 0.0) * const - (stats["a2_x"] or 0.0) * const * const
+        trajectory.append(curr_mod)
+        info.unpersist()
+        cand.unpersist()
+
+        stop = False
+        if resistance_phase is not None:
+            # r_min / Q_AFG bookkeeping (ref :192-218); Σ size² keeps one
+            # slot per isolated vertex in the reference — add n_iso back
+            w_2 = 1.0 / const if const > 0 else 0.0
+            n_c = float(stats["n_c"] or 0) + n_iso
+            nd = float(nv) - (n_c / float(nv)) if nv > 0 else 0.0
+            r_min = (-(w_2) / nd) * curr_mod if nd != 0 else 0.0
+            denom = w_2 - float(nv) * r_min
+            q_afg = ((w_2 * curr_mod) + (r_min * nd)) / denom if denom != 0 else 0.0
+            if resistance_phase > 1:
+                stop = q_afg == 0
+            else:
+                stop = (curr_mod - prev_mod) < thresh
+        else:
+            stop = (curr_mod - prev_mod) < thresh
+        if stop or num_iters >= max_inner:
+            break
+
+        prev_mod = max(curr_mod, lower)
+        # double-buffer swap: past <- curr, curr <- target (full nv rows,
+        # out-isolated vertices become -1: ref :174-176)
+        past_df = curr
+        past = curr
+        curr = (
+            verts_all.join(target.select("vid", "comm"), "vid", "left")
+            .select("vid", F.coalesce("comm", F.lit(-1)).alias("comm"))
+        )
+
+    return BasePhaseResult(
+        c=past_df,
+        modularity=prev_mod,
+        num_iters=num_iters,
+        trajectory=trajectory,
+        r_min=r_min,
+        q_afg=q_afg,
+        fin_mod=curr_mod,
+    )
+
+
+def directed_louvain(
+    spark: SparkSession,
+    edges: DataFrame,
+    nv: int,
+    thresh: float = 1e-6,
+    lower: float = -1.0,
+    max_inner: int = 1000,
+) -> BasePhaseResult:
+    """Directed Louvain phase (ref C8, ``parallelDirectedLouvainMethod.cpp``).
+
+    ``edges`` are DIRECTED rows (src, dst, weight) — do NOT symmetrize.
+    Degrees/community info use the out-view only; the constant is
+    ``2 * (1/Σdeg_out) = 2/m`` (``:225-227``). Oracle twin:
+    ``oracle.numpy_oracle.directed_louvain_np``.
+    """
+    return _base_phase(spark, edges, nv, const_factor=2.0, thresh=thresh,
+                       lower=lower, max_inner=max_inner)
+
+
+@dataclass
+class ResistanceResult:
+    c: DataFrame
+    modularity: float       # finMod of the last phase
+    r_min: float
+    q_afg: float
+    phases: int
+    total_iters: int
+    num_clusters: int
+    trajectory: list = field(default_factory=list)
+
+
+def louvain_fasttrack_resistance(
+    spark: SparkSession,
+    edges: DataFrame,
+    nv: int,
+    threshold: float = 1e-6,
+    max_phases: int = 200,
+    max_total_iters: int = 10000,
+    max_inner: int = 1000,
+) -> ResistanceResult:
+    """Multi-phase FastTrackResistance driver (ref C9,
+    ``runMultiPhaseBasicFastTrackResistance.cpp:60-160``): phase 1 exits on
+    the plain threshold, later phases on Q_AFG == 0; coarsen while
+    Q_AFG != 0; caps 200 phases / 10000 iterations. Beats the resolution
+    limit by tracking the Granell-Arenas minimal resistance.
+
+    Extra engine guard (same as ``louvain``): a phase that moves nothing
+    leaves the coarse graph fixed, so the loop exits early with identical
+    final output instead of spinning to the phase cap.
+    """
+    g_edges, g_nv = edges, nv
+    c_orig = None
+    phase = 1
+    tot_iters = 0
+    num_clusters = 0
+    trajectory = []
+    res = None
+
+    while True:
+        res = _base_phase(
+            spark, g_edges, g_nv, const_factor=1.0, thresh=threshold,
+            lower=res.q_afg if res is not None else -1.0,
+            max_inner=max_inner, resistance_phase=phase,
+        )
+        tot_iters += res.num_iters
+        c, num_clusters = renumber(res.c)
+        c = c.transform(cut_lineage)
+        trajectory.append(res.fin_mod)
+
+        if phase == 1:
+            c_orig = c
+        else:
+            proj = c.select(F.col("vid").alias("comm_prev"), F.col("comm").alias("comm_new"))
+            c_orig = (
+                c_orig.withColumnRenamed("comm", "comm_prev")
+                .join(proj, "comm_prev", "left")
+                .select("vid", F.coalesce("comm_new", F.col("comm_prev")).alias("comm"))
+                .transform(cut_lineage)
+            )
+
+        if phase > max_phases or tot_iters > max_total_iters:
+            break
+        if res.q_afg == 0:
+            break  # minimal r_min reached (ref :142)
+        if num_clusters == g_nv:
+            break  # coarsening fixpoint (engine guard)
+        g_edges = coarsen(g_edges, c).transform(cut_lineage)
+        g_nv = num_clusters
+        phase += 1
+
+    return ResistanceResult(
+        c=c_orig,
+        modularity=res.fin_mod,
+        r_min=res.r_min,
+        q_afg=res.q_afg,
+        phases=phase,
+        total_iters=tot_iters,
+        num_clusters=num_clusters,
+        trajectory=trajectory,
+    )

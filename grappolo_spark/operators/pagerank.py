@@ -76,32 +76,38 @@ def pagerank(
         iters = it + 1
         dmass = n_dangling * r_d
         contrib = (
-            trans.join(ranks, trans.src == ranks.vid)
+            trans.join(ranks.select("vid", "rank"), trans.src == ranks.vid)
             .select(F.col("dst").alias("vid"), (F.col("factor") * F.col("rank")).alias("c"))
             .groupBy("vid")
             .agg(F.sum("c").alias("contrib"))
         )
-        new_ranks = vertices.join(contrib, "vid", "left").select(
-            "vid",
-            (
-                F.lit((1.0 - alpha) / nv)
-                + F.lit(alpha)
-                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dmass / nv))
-            ).alias("rank"),
+        # join contributions back onto the CURRENT ranks (same vid set as
+        # `vertices`) and carry the old rank through the checkpoint: the
+        # convergence delta then reads the already-materialized data — no
+        # second shuffle join per iteration (fixed cost that caps scaling)
+        new_state = (
+            ranks.select("vid", F.col("rank").alias("prev"))
+            .join(contrib, "vid", "left")
+            .select(
+                "vid",
+                (
+                    F.lit((1.0 - alpha) / nv)
+                    + F.lit(alpha)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dmass / nv))
+                ).alias("rank"),
+                "prev",
+            )
+            .transform(cut_lineage)
         )
-        new_ranks = new_ranks.transform(cut_lineage)
         new_r_d = (1.0 - alpha) / nv + alpha * (dmass / nv)
 
         delta = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "vid")
-            .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
-            .collect()[0][0]
+            new_state.agg(F.max(F.abs(F.col("rank") - F.col("prev")))).collect()[0][0]
             or 0.0
         )
         delta = max(delta, abs(new_r_d - r_d))
         ranks.unpersist()
-        ranks = new_ranks
+        ranks = new_state.select("vid", "rank")
         r_d = new_r_d
         if checkpoint is not None and (it + 1) % checkpoint_every == 0:
             checkpoint.save(

@@ -208,3 +208,47 @@ def louvain_coloring_np(
         "num_clusters": n_clusters,
         "trajectory": trajectory,
     }
+
+
+def maxmin_coloring_np(edges, nv, n_hash=4, n_itrs=2):
+    """Oracle twin of ``operators.coloring.maxmin_coloring`` (ref C15,
+    ``coloringMultiHashMaxMin.cpp:60-226``) — Jacobi rounds, shared
+    xxhash64(vid, ihash) random values (signed comparisons, like Spark).
+
+    Returns (colors list over nv, n_colored, rounds_run).
+    """
+    from .xxh64 import xxhash64
+
+    max_color = 2 * n_hash * n_itrs
+    nbrs = [set() for _ in range(nv)]
+    for s, d, _ in edges:
+        s, d = int(s), int(d)
+        if s != d:
+            nbrs[s].add(d)
+    # every vertex starts at the sentinel (the reference colors ALL NVer)
+    colors = [max_color] * nv
+    rounds = 0
+    for itr in range(n_itrs):
+        for ihash in range(n_hash):
+            cc = 2 * (itr * n_hash + ihash)
+            unc = [v for v in range(nv) if colors[v] == max_color]
+            if not unc:
+                return colors, sum(1 for c in colors if c != max_color), rounds
+            rounds += 1
+            h = {v: xxhash64(v, ihash) for v in unc}
+            snapshot = list(colors)
+            for v in unc:
+                is_max = True
+                is_min = True
+                for j in nbrs[v]:
+                    if snapshot[j] != max_color:
+                        continue  # colored earlier: skipped (ref :143-146)
+                    if h[v] <= h[j]:
+                        is_max = False
+                    if h[v] >= h[j]:
+                        is_min = False
+                if is_max:
+                    colors[v] = cc
+                elif is_min:
+                    colors[v] = cc + 1
+    return colors, sum(1 for c in colors if c != max_color), rounds

@@ -478,3 +478,167 @@ def triangle_counts_np(edges, nv):
                     per[x] += 1
                     total += 1
     return per, total
+
+
+# ---------------------------------------------------------------------------
+# Base-path variants: directed Louvain (C8) + FastTrackResistance (C9)
+# ---------------------------------------------------------------------------
+
+def base_phase_np(edges, nv, const_factor=1.0, thresh=1e-6, lower=-1.0,
+                  max_inner=1000, resistance_phase=None):
+    """One base-path phase — the shared shape of the reference's directed
+    (``parallelDirectedLouvainMethod.cpp:47-280``) and FastTrackResistance
+    (``parallelLouvainMethodFastTrackResistance.cpp:47-302``) variants:
+    plain singleton init (``initCommAss``), modularity-threshold stop, and
+    pastCommAss return semantics (the assignment the second-to-last sweep
+    read, double-buffer swap ``:236-241``).
+
+    ``edges`` rows are the out-adjacency (symmetric rows -> undirected,
+    directed rows -> the directed variant); ``const_factor`` scales
+    1/sum(deg) (1.0 -> 1/2m undirected, 2.0 -> 1/m directed, ``:225-227``).
+    Candidate communities with id < 0 are skipped (the reference reads
+    cInfo[-1] there — UB; engine and oracle share this spec).
+
+    ``resistance_phase``: when set, compute r_min / Q_AFG per iteration
+    (``:192-218``) and, for phases > 1, exit when Q_AFG == 0 (``:233-242``).
+
+    Returns dict: C (pastCommAss), modularity (prevMod), num_iters,
+    trajectory, r_min, q_afg, fin_mod (currMod at exit).
+    """
+    adj = adjacency(edges, nv)  # out-adjacency: rows grouped by src
+    deg = vertex_degrees(edges, nv)
+    sum_deg = sum(deg)
+    const = const_factor / sum_deg if sum_deg > 0 else 0.0
+
+    # incremental community info, exactly the reference's cUpdate schedule:
+    # every vertex starts as a singleton slot; slots of isolated vertices
+    # are never touched (cUpdate skips -1 targets), so sum(size^2) keeps
+    # their +1 contribution forever
+    c_size = {i: 1 for i in range(nv)}
+    c_degree = {i: deg[i] for i in range(nv)}
+    past = list(range(nv))
+    curr = list(range(nv))
+
+    prev_mod = -1.0
+    num_iters = 0
+    trajectory = []
+    r_min = 0.0
+    q_afg = -1.0
+    curr_mod = -1.0
+
+    while True:
+        num_iters += 1
+        target = [0] * nv
+        e_xx = 0.0
+        moves = []
+        for i in range(nv):
+            if not adj[i]:
+                target[i] = -1  # no out-edges: ref :174-176
+                continue
+            sc = curr[i]
+            counter = {sc: 0.0}
+            self_loop = 0.0
+            for j, w in adj[i]:
+                if j == i:
+                    self_loop += w
+                cj = curr[j]
+                counter[cj] = counter.get(cj, 0.0) + w
+            e_xx += counter[sc]
+            eix = counter[sc] - self_loop
+            ax = c_degree.get(sc, 0.0) - deg[i]
+            cand = {cid: v for cid, v in counter.items() if cid >= 0}
+            max_index = _argmax_community(cand, sc, eix, ax, deg[i], const, c_degree)
+            if (
+                c_size.get(max_index, 0) == 1
+                and c_size.get(sc, 0) == 1
+                and max_index > sc
+            ):
+                max_index = sc
+            target[i] = max_index
+            if max_index != sc:
+                moves.append((i, sc, max_index))
+
+        a2_x = sum(d * d for d in c_degree.values())
+        curr_mod = e_xx * const - a2_x * const * const
+        trajectory.append(curr_mod)
+
+        if resistance_phase is not None:
+            w_2 = 1.0 / const if const > 0 else 0.0
+            n_c = sum(s * s for s in c_size.values())
+            nd = float(nv) - (n_c / float(nv)) if nv > 0 else 0.0
+            r_min = (-(w_2) / nd) * curr_mod if nd != 0 else 0.0
+            denom = w_2 - float(nv) * r_min
+            q_afg = ((w_2 * curr_mod) + (r_min * nd)) / denom if denom != 0 else 0.0
+            stop = (q_afg == 0) if resistance_phase > 1 else (
+                (curr_mod - prev_mod) < thresh
+            )
+        else:
+            stop = (curr_mod - prev_mod) < thresh
+        if stop or num_iters >= max_inner:
+            break
+
+        prev_mod = curr_mod if curr_mod >= lower else lower
+        for i, frm, to in moves:
+            c_degree[to] = c_degree.get(to, 0.0) + deg[i]
+            c_size[to] = c_size.get(to, 0) + 1
+            c_degree[frm] = c_degree.get(frm, 0.0) - deg[i]
+            c_size[frm] = c_size.get(frm, 0) - 1
+        past = curr
+        curr = target
+
+    return {
+        "C": past, "modularity": prev_mod, "num_iters": num_iters,
+        "trajectory": trajectory, "r_min": r_min, "q_afg": q_afg,
+        "fin_mod": curr_mod,
+    }
+
+
+def directed_louvain_np(edges, nv, thresh=1e-6, lower=-1.0, max_inner=1000):
+    """Directed Louvain phase (ref C8): out-view sweep, const = 2/m."""
+    return base_phase_np(edges, nv, const_factor=2.0, thresh=thresh,
+                         lower=lower, max_inner=max_inner)
+
+
+def fasttrack_resistance_np(edges, nv, threshold=1e-6, max_phases=200,
+                            max_total_iters=10000, max_inner=1000):
+    """Multi-phase FastTrackResistance driver
+    (``runMultiPhaseBasicFastTrackResistance.cpp:60-160``): phase 1 exits
+    on the threshold, later phases on Q_AFG == 0; coarsen while
+    Q_AFG != 0; caps 200 phases / 10000 iterations. Engine twin:
+    ``operators.louvain_variants.louvain_fasttrack_resistance``.
+    """
+    g_edges, g_nv = list(edges), nv
+    c_orig = None
+    phase = 1
+    tot_iters = 0
+    num_clusters = 0
+    trajectory = []
+    res = {"q_afg": -1.0}
+
+    while True:
+        res = base_phase_np(
+            g_edges, g_nv, const_factor=1.0, thresh=threshold,
+            lower=res["q_afg"], max_inner=max_inner, resistance_phase=phase,
+        )
+        tot_iters += res["num_iters"]
+        c, num_clusters = renumber_np(res["C"])
+        trajectory.append(res["fin_mod"])
+        if phase == 1:
+            c_orig = list(c)
+        else:
+            c_orig = [c[x] if x >= 0 else x for x in c_orig]
+        if phase > max_phases or tot_iters > max_total_iters:
+            break
+        if res["q_afg"] == 0:
+            break
+        if num_clusters == g_nv:
+            break  # coarsening fixpoint (engine guard)
+        g_edges, _ = coarsen_np(g_edges, c, num_clusters)
+        g_nv = num_clusters
+        phase += 1
+
+    return {
+        "C": c_orig, "modularity": res["fin_mod"], "r_min": res["r_min"],
+        "q_afg": res["q_afg"], "phases": phase, "total_iters": tot_iters,
+        "num_clusters": num_clusters, "trajectory": trajectory,
+    }

@@ -70,28 +70,8 @@ def run_reference(binary, metis_path):
     return summary, communities
 
 
-def erdos_renyi(n, p_millis, seed):
-    """Deterministic pseudo-random graph w/o external libs."""
-    edges = []
-    state = seed
-    for u in range(n):
-        for v in range(u + 1, n):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            if (state >> 33) % 1000 < p_millis:
-                edges.append((u, v, 1.0))
-    return edges, n
-
-
-CASES = {
-    "karate": lambda: fx.karate(),
-    "two_cliques_bridge": lambda: fx.two_cliques_bridge(),
-    "star_hub_100": lambda: fx.star_hub(100),
-    "path_10": lambda: fx.path_n(10),
-    "grid3d_4": lambda: fx.grid3d(4),
-    "er_200_50": lambda: erdos_renyi(200, 50, 12345),
-    "er_500_20": lambda: erdos_renyi(500, 20, 99),
-    "er_1000_5": lambda: erdos_renyi(1000, 5, 7),
-}
+# shared with tests/test_golden_parity.py so capture and compare agree
+CASES = fx.GOLDEN_CASES
 
 
 def main():

@@ -1,0 +1,135 @@
+"""Base-path variants (directed Louvain C8, FastTrackResistance C9) and
+MaxMin coloring (C15) vs their numpy-oracle twins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from grappolo_spark import fixtures as fx
+from grappolo_spark.operators.coloring import maxmin_coloring
+from grappolo_spark.operators.louvain_variants import (
+    directed_louvain,
+    louvain_fasttrack_resistance,
+)
+from grappolo_spark.oracle import (
+    directed_louvain_np,
+    fasttrack_resistance_np,
+    maxmin_coloring_np,
+)
+
+
+def _collect(df, col, nv):
+    got = {r["vid"]: r[col] for r in df.collect()}
+    return [got[i] for i in range(nv)]
+
+
+def _to_directed_df(spark, rows):
+    return spark.createDataFrame(
+        [(int(s), int(d), float(w)) for s, d, w in rows],
+        "src long, dst long, weight double",
+    )
+
+
+def directed_two_cycles():
+    """Two directed 4-cycles joined by a 2-cycle bridge — every vertex has
+    an out-edge, so reference semantics have no UB region."""
+    rows = []
+    for base in (0, 4):
+        for i in range(4):
+            rows.append((base + i, base + (i + 1) % 4, 1.0))
+    rows += [(0, 4, 1.0), (4, 0, 1.0)]
+    return rows, 8
+
+
+def directed_reply_chain():
+    """Transcript-reply shape: turn i -> turn i-1 within two conversations;
+    the first turn of each has NO out-edge (exercises the documented
+    cInfo[-1]-UB deviation — engine and oracle share the spec)."""
+    rows = []
+    for base in (0, 5):
+        for i in range(1, 5):
+            rows.append((base + i, base + i - 1, 1.0))
+    return rows, 10
+
+
+@pytest.mark.parametrize("maker", [directed_two_cycles, directed_reply_chain])
+def test_directed_louvain_matches_oracle(spark, maker):
+    rows, nv = maker()
+    df = _to_directed_df(spark, rows)
+    exp = directed_louvain_np(rows, nv)
+    got = directed_louvain(spark, df, nv)
+    assert _collect(got.c, "comm", nv) == exp["C"]
+    assert got.modularity == exp["modularity"]
+    assert got.num_iters == exp["num_iters"]
+    assert got.trajectory == exp["trajectory"]
+
+
+def test_directed_louvain_symmetric_consistency(spark):
+    """On a symmetric table the directed phase is the base undirected path
+    with const doubled — sanity: it must produce a valid partition with
+    more than one community on two cliques."""
+    edges, nv = fx.two_cliques_bridge()
+    df = fx.to_spark_edges(spark, edges)
+    got = directed_louvain(spark, df, nv)
+    comms = set(_collect(got.c, "comm", nv))
+    assert all(c >= 0 for c in comms)
+    rows = fx.symmetric_rows(edges)
+    exp = directed_louvain_np(rows, nv)
+    assert _collect(got.c, "comm", nv) == exp["C"]
+
+
+@pytest.mark.parametrize("name", ["karate", "two_cliques_bridge",
+                                  "weighted_two_triangles"])
+def test_fasttrack_resistance_matches_oracle(spark, name):
+    edges, nv = fx.ALL_FIXTURES[name]()
+    rows = fx.symmetric_rows(edges)
+    df = fx.to_spark_edges(spark, edges)
+    exp = fasttrack_resistance_np(rows, nv)
+    got = louvain_fasttrack_resistance(spark, df, nv)
+    assert _collect(got.c, "comm", nv) == exp["C"], name
+    assert got.modularity == exp["modularity"]
+    assert got.r_min == exp["r_min"]
+    assert got.q_afg == exp["q_afg"]
+    assert got.phases == exp["phases"]
+    assert got.total_iters == exp["total_iters"]
+    assert got.num_clusters == exp["num_clusters"]
+
+
+@pytest.mark.parametrize("name", ["karate", "grid3d", "disconnected",
+                                  "two_cliques_bridge"])
+def test_maxmin_coloring_matches_oracle(spark, name):
+    edges, nv = fx.ALL_FIXTURES[name]()
+    rows = fx.symmetric_rows(edges)
+    df = fx.to_spark_edges(spark, edges)
+    exp_colors, exp_n, exp_rounds = maxmin_coloring_np(rows, nv)
+    colors, n_colored, rounds = maxmin_coloring(spark, df, nv)
+    assert _collect(colors, "color", nv) == exp_colors, name
+    assert n_colored == exp_n
+    assert rounds == exp_rounds
+
+
+def test_maxmin_coloring_partition_invariant(spark):
+    edges, nv = fx.karate()
+    df2 = fx.to_spark_edges(spark, edges).repartition(2)
+    df7 = fx.to_spark_edges(spark, edges).repartition(7)
+    c2, _, _ = maxmin_coloring(spark, df2, nv)
+    c7, _, _ = maxmin_coloring(spark, df7, nv)
+    assert _collect(c2, "color", nv) == _collect(c7, "color", nv)
+
+
+def test_maxmin_colored_classes_are_conflict_free(spark):
+    """Within the properly-colored set (non-sentinel), no edge joins two
+    vertices of the same color — sentinel leftovers are exempt, as in the
+    reference's bounded-palette contract."""
+    edges, nv = fx.karate()
+    df = fx.to_spark_edges(spark, edges)
+    colors, _, _ = maxmin_coloring(spark, df, nv, n_hash=4, n_itrs=2)
+    sentinel = 2 * 4 * 2
+    cs = colors.select(F.col("vid").alias("src"), F.col("color").alias("c_src"))
+    cd = colors.select(F.col("vid").alias("dst"), F.col("color").alias("c_dst"))
+    conflicts = (
+        df.filter(F.col("src") != F.col("dst"))
+        .join(cs, "src").join(cd, "dst")
+        .filter((F.col("c_src") == F.col("c_dst")) & (F.col("c_src") != sentinel))
+        .count()
+    )
+    assert conflicts == 0
