@@ -504,6 +504,16 @@ def _q_coloring_maxmin(spark, sf):
     return colors
 
 
+def _q_coloring_balanced(spark, sf):
+    from grappolo_spark.operators.coloring import balanced_coloring, distance1_coloring
+
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    colors, _n, _rounds = distance1_coloring(spark, e, nv)
+    out, _rounds2 = balanced_coloring(spark, e, colors, nv)
+    return out
+
+
 def _q_multimodal_meta(spark, sf):
     from grappolo_spark.functions import multimodal as MM
 
@@ -563,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_colored": _q_louvain_colored,
         "graph_coloring": _q_coloring,
         "coloring_maxmin": _q_coloring_maxmin,
+        "coloring_balanced": _q_coloring_balanced,
         "color_stats": _q_color_stats,
         "directed_louvain": _q_directed_louvain,
         "louvain_resistance": _q_louvain_resistance,

@@ -19,18 +19,62 @@ internal ``internalCreateDataFrame`` API is unavailable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+# Serialized blocks by default: checkpointed superstep state held as a few
+# large byte buffers instead of millions of deserialized row objects — at
+# 10M+ rows/state the GC scan cost of object blocks grows with heap size
+# and thread count and dominates the 32-thread runs. Deser/ser is
+# per-partition CPU work, which scales.
+_LEVELS = {
+    # pyspark's MEMORY_AND_DISK is serialized; _DESER is the JVM default
+    "MEMORY_AND_DISK_SER": StorageLevel.MEMORY_AND_DISK,
+    "MEMORY_AND_DISK_DESER": StorageLevel.MEMORY_AND_DISK_DESER,
+    "DISK_ONLY": StorageLevel.DISK_ONLY,
+}
+
+
+def _ckpt_level() -> StorageLevel:
+    name = os.environ.get("SPARK_GRAFT_CKPT_LEVEL", "MEMORY_AND_DISK_SER")
+    return _LEVELS.get(name, _LEVELS["MEMORY_AND_DISK_SER"])
 
 
 def cut_lineage(df: DataFrame) -> DataFrame:
     """localCheckpoint(eager) + drop inherited origin statistics."""
-    ck = df.localCheckpoint(eager=True)
+    ck = df.localCheckpoint(eager=True, storageLevel=_ckpt_level())
     spark = df.sparkSession
     try:
         jdf = ck._jdf
         new_jdf = spark._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
-        return DataFrame(new_jdf, spark)
+        out = DataFrame(new_jdf, spark)
+        out._ckpt_jdf = jdf  # handle for release()
+        return out
     except Exception:  # pragma: no cover - internal-API fallback
         return ck
+
+
+def release(df) -> None:
+    """Drop the cached blocks behind a ``cut_lineage`` result.
+
+    Iterative supersteps otherwise leak one localCheckpoint per iteration
+    until the GC-driven ContextCleaner catches up — at bench scale that
+    lag alone OOMs the JVM. A local checkpoint is NOT recomputable (the
+    lineage is truncated), so call this only once nothing will ever read
+    the DataFrame again (i.e. after the superseding state has been
+    materialized eagerly and all per-iteration stats were collected).
+
+    No-op for DataFrames that did not come from ``cut_lineage``.
+    """
+    jdf = getattr(df, "_ckpt_jdf", None)
+    if jdf is None:
+        return
+    try:
+        # the persisted RDD lives on the checkpointed dataset's LogicalRDD
+        jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - internal-API fallback
+        pass

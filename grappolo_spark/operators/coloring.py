@@ -32,7 +32,7 @@ Oracle twin: ``oracle.coloring_np.distance1_coloring_np``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..lineage import cut_lineage
@@ -248,3 +248,133 @@ def maxmin_coloring(
     ).transform(cut_lineage)
     n_colored = colors.filter(F.col("color") != max_color).count()
     return colors, int(n_colored), rounds
+
+
+def balanced_coloring(
+    spark: SparkSession,
+    edges: DataFrame,
+    colors: DataFrame,
+    nv: int,
+    ncolors: int | None = None,
+    strategy: str = "first_fit",
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int]:
+    """Balanced-coloring redistribution (ref C16, ``vBaseRedistribution``,
+    ``Coloring/vBase.cpp:6-169``): vertices in OVERSIZE base color classes
+    (class size > avg = ceil(nv/ncolors), computed once from the input
+    coloring, ``:74-86``) move to the first-fit (type 0, ``:111-115``) or
+    least-used (type 1, ``:117-125``) permissible color that is below avg
+    and not itself oversize; repeat until stable.
+
+    The reference's loop is scheduling-dependent (atomic ``freq`` updates
+    mid-sweep + random-value conflict resolution, ``:129-147``) — like C14
+    the engine keeps the CONTRACT (output stays a proper coloring, oversize
+    classes drain toward avg) but is deterministic: Jacobi rounds, per-color
+    admission capacity ``avg - freq`` granted in xxhash64-priority order,
+    and adjacent same-target movers resolved by the same bijective
+    priority. Oracle twin (identical spec):
+    ``oracle.coloring_np.balanced_coloring_np``.
+
+    Returns ((vid, color), rounds_run).
+    """
+    base = colors.select("vid", F.col("color").alias("base_color")).transform(cut_lineage)
+    nbr = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .transform(cut_lineage)
+    )
+    if ncolors is None:
+        ncolors = int(base.agg(F.max("base_color")).collect()[0][0] or 0) + 1
+    avg = -(-nv // ncolors)  # ceil
+
+    freq0 = {
+        int(r["base_color"]): int(r["n"])
+        for r in base.groupBy("base_color").agg(F.count("*").alias("n")).collect()
+    }
+    oversize = sorted(c for c, n in freq0.items() if n > avg)
+    if not oversize:
+        return colors.select("vid", "color"), 0
+
+    state = colors.select(
+        "vid", "color", _prio(F.col("vid")).alias("prio")
+    ).join(base, "vid").transform(cut_lineage)
+
+    rounds = 0
+    while rounds < max_rounds:
+        freq = {
+            int(r["color"]): int(r["n"])
+            for r in state.groupBy("color").agg(F.count("*").alias("n")).collect()
+        }
+        eligible = sorted(
+            c for c in range(ncolors)
+            if freq.get(c, 0) < avg and c not in oversize
+        )
+        movers = state.filter(
+            F.col("base_color").isin([int(c) for c in oversize])
+            & F.col("color").isin([int(c) for c in freq if freq[c] > avg])
+        )
+        if not eligible or movers.limit(1).count() == 0:
+            break
+        rounds += 1
+
+        # candidate (mover, target) pairs minus colors used by neighbours
+        cand = movers.select(
+            "vid", "prio",
+            F.explode(F.array(*[F.lit(int(c)) for c in eligible])).alias("t"),
+        )
+        nb_colors = (
+            nbr.join(movers.select(F.col("vid").alias("src")), "src")
+            .join(state.select(F.col("vid").alias("dst"), F.col("color").alias("t")), "dst")
+            .select(F.col("src").alias("vid"), "t")
+            .distinct()
+        )
+        free = cand.join(nb_colors, ["vid", "t"], "left_anti")
+        if strategy == "least_used":
+            fmap = F.create_map(
+                *[F.lit(x) for c in eligible for x in (int(c), freq.get(c, 0))]
+            )
+            pick = (
+                free.withColumn("fc", fmap[F.col("t")])
+                .groupBy("vid", "prio")
+                .agg(F.min(F.struct(F.col("fc"), F.col("t"))).alias("b"))
+                .select("vid", "prio", F.col("b.t").alias("t"))
+            )
+        else:  # first_fit
+            pick = free.groupBy("vid", "prio").agg(F.min("t").alias("t"))
+
+        # per-color admission capacity avg - freq, granted in priority order
+        w = Window.partitionBy("t").orderBy(F.desc("prio"))
+        capmap = F.create_map(
+            *[F.lit(x) for c in eligible for x in (int(c), avg - freq.get(c, 0))]
+        )
+        admitted = (
+            pick.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= capmap[F.col("t")])
+            .select("vid", "prio", "t")
+        )
+        # adjacent same-target movers: the higher priority wins
+        a_dst = admitted.select(
+            F.col("vid").alias("dst"), F.col("t").alias("t_dst"),
+            F.col("prio").alias("p_dst"),
+        )
+        losers = (
+            nbr.join(admitted.withColumnRenamed("vid", "src"), "src")
+            .join(a_dst, "dst")
+            .filter((F.col("t") == F.col("t_dst")) & (F.col("prio") < F.col("p_dst")))
+            .select(F.col("src").alias("vid"))
+            .distinct()
+        )
+        moves = admitted.join(losers, "vid", "left_anti").select("vid", F.col("t"))
+        if moves.limit(1).count() == 0:
+            break
+        state = (
+            state.join(moves, "vid", "left")
+            .select(
+                "vid",
+                F.coalesce(F.col("t"), F.col("color")).cast("int").alias("color"),
+                "prio", "base_color",
+            )
+            .transform(cut_lineage)
+        )
+
+    return state.select("vid", "color"), rounds

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..lineage import cut_lineage
+from ..lineage import cut_lineage, release
 
 
 def connected_components(
@@ -39,12 +39,13 @@ def connected_components(
             labels = state.dataframes["labels"]
             start_iter = state.meta["iteration"]
     labels = labels.transform(cut_lineage)
+    state_ck = labels  # checkpoint backing the current state (for release)
 
     rounds = start_iter
     for it in range(start_iter, max_iter):
         rounds = it + 1
         nbr_min = (
-            e.join(labels, e.dst == labels.vid)
+            e.join(labels.select("vid", "comp"), e.dst == labels.vid)
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("src", "vid")
@@ -54,24 +55,23 @@ def connected_components(
             .select(
                 "vid",
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+                F.col("comp").alias("prev"),
             )
         )
         # pointer jump: comp <- comp(comp); labels is keyed by every vid so
-        # the lookup always hits
+        # the lookup always hits. The previous label rides along so the
+        # convergence check reads the materialized state — no second
+        # shuffle join per round.
         jump = stepped.select(F.col("vid").alias("jvid"), F.col("comp").alias("jcomp"))
-        new_labels = (
+        new_state = (
             stepped.join(jump, stepped.comp == jump.jvid)
-            .select("vid", F.col("jcomp").alias("comp"))
+            .select("vid", F.col("jcomp").alias("comp"), "prev")
             .transform(cut_lineage)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vid")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_state.filter(F.col("comp") != F.col("prev")).count()
+        release(state_ck)
+        state_ck = new_state
+        labels = new_state.select("vid", "comp")
         if checkpoint is not None:
             checkpoint.save(
                 "components",

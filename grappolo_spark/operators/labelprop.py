@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..lineage import cut_lineage
+from ..lineage import cut_lineage, release
 
 
 def label_propagation(
@@ -38,12 +38,13 @@ def label_propagation(
             labels = state.dataframes["labels"]
             start_iter = state.meta["iteration"]
     labels = labels.transform(cut_lineage)
+    state_ck = labels  # checkpoint backing the current state (for release)
 
     rounds = start_iter
     for it in range(start_iter, max_iter):
         rounds = it + 1
         votes = (
-            e.join(labels, e.dst == labels.vid)
+            e.join(labels.select("vid", "label"), e.dst == labels.vid)
             .groupBy("src", "label")
             .agg(F.sum("weight").alias("w"))
         )
@@ -54,19 +55,21 @@ def label_propagation(
             .agg(F.max_by("label", F.struct(F.col("w"), -F.col("label"))).alias("new_label"))
             .withColumnRenamed("src", "vid")
         )
-        new_labels = (
+        # previous label rides through the checkpoint: convergence check
+        # reads materialized data instead of a second shuffle join
+        new_state = (
             labels.join(best, "vid", "left")
-            .select("vid", F.coalesce("new_label", "label").alias("label"))
+            .select(
+                "vid",
+                F.coalesce("new_label", "label").alias("label"),
+                F.col("label").alias("prev"),
+            )
             .transform(cut_lineage)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vid")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_state.filter(F.col("label") != F.col("prev")).count()
+        release(state_ck)
+        state_ck = new_state
+        labels = new_state.select("vid", "label")
         if checkpoint is not None:
             checkpoint.save(
                 "labelprop",

@@ -46,7 +46,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..lineage import cut_lineage
+from ..lineage import cut_lineage, release
 
 
 # ---------------------------------------------------------------------------
@@ -378,6 +378,7 @@ def louvain_phase(
     if curr is None:
         curr = louvain_init(edges, deg, const)
     curr = curr.transform(cut_lineage)
+    curr_backing = curr  # checkpoint behind the current assignment
 
     prev_mod = -1.0
     change = False
@@ -430,10 +431,12 @@ def louvain_phase(
                 break
             prev_mod = max(curr_mod, lower)
             # target is already a checkpointed LogicalRDD — the projection
-            # is free; re-checkpointing it would copy |V| rows per sweep
-            new_curr = target.select("vid", "comm")
-            curr.unpersist()
-            curr = new_curr
+            # is free; re-checkpointing it would copy |V| rows per sweep.
+            # The superseded assignment's checkpoint blocks are freed
+            # eagerly (waiting on the GC-driven cleaner OOMs long runs).
+            release(curr_backing)
+            curr_backing = target
+            curr = target.select("vid", "comm")
             if checkpoint is not None:
                 checkpoint.save(
                     phase_tag,
@@ -534,9 +537,9 @@ def louvain_phase(
             break
 
         prev_mod = max(curr_mod, lower)
-        new_curr = target.select("vid", "comm")
-        curr.unpersist()
-        curr = new_curr
+        release(curr_backing)
+        curr_backing = target
+        curr = target.select("vid", "comm")
         if checkpoint is not None:
             checkpoint.save(
                 phase_tag,

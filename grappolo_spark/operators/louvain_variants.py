@@ -52,7 +52,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..lineage import cut_lineage
+from ..lineage import cut_lineage, release
 from .louvain import _gain, coarsen, comm_info, renumber
 
 
@@ -99,9 +99,12 @@ def _base_phase(
 
     verts_all = spark.range(nv).select(F.col("id").alias("vid")).transform(cut_lineage)
     init = verts_all.select("vid", F.col("vid").alias("comm"))
-    past = init            # pastCommAss
-    past_df = init
+    past_df = init         # pastCommAss
     curr = init            # currCommAss — always covers all nv rows
+    # double-buffer checkpoint handles: the state two generations back is
+    # dead after a swap and its blocks are freed eagerly (see lineage.release)
+    past_backing = None
+    curr_backing = None
 
     prev_mod = -1.0
     num_iters = 0
@@ -238,11 +241,15 @@ def _base_phase(
         # double-buffer swap: past <- curr, curr <- target (full nv rows,
         # out-isolated vertices become -1: ref :174-176)
         past_df = curr
-        past = curr
+        dead = past_backing
+        past_backing = curr_backing
+        curr_backing = target
         curr = (
             verts_all.join(target.select("vid", "comm"), "vid", "left")
             .select("vid", F.coalesce("comm", F.lit(-1)).alias("comm"))
         )
+        if dead is not None:
+            release(dead)
 
     return BasePhaseResult(
         c=past_df,

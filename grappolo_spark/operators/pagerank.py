@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..lineage import cut_lineage
+from ..lineage import cut_lineage, release
 
 
 def pagerank(
@@ -70,6 +70,7 @@ def pagerank(
     if ranks is None:
         ranks = vertices.select("vid", F.lit(1.0 / nv).alias("rank"))
     ranks = ranks.transform(cut_lineage)
+    state_ck = ranks  # checkpoint backing the current state (for release)
 
     iters = start_iter
     for it in range(start_iter, max_iter):
@@ -106,7 +107,12 @@ def pagerank(
             or 0.0
         )
         delta = max(delta, abs(new_r_d - r_d))
-        ranks.unpersist()
+        # the old state is dead once new_state is materialized and delta
+        # collected — free its checkpoint blocks NOW instead of waiting on
+        # the GC-driven ContextCleaner (which falls behind and OOMs long
+        # iterative runs)
+        release(state_ck)
+        state_ck = new_state
         ranks = new_state.select("vid", "rank")
         r_d = new_r_d
         if checkpoint is not None and (it + 1) % checkpoint_every == 0:

@@ -17,5 +17,6 @@ from .coloring_np import (  # noqa: F401
     louvain_phase_colored_np,
     louvain_coloring_np,
     maxmin_coloring_np,
+    balanced_coloring_np,
 )
 from .xxh64 import xxhash64  # noqa: F401

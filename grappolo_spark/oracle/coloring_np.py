@@ -252,3 +252,84 @@ def maxmin_coloring_np(edges, nv, n_hash=4, n_itrs=2):
                 elif is_min:
                     colors[v] = cc + 1
     return colors, sum(1 for c in colors if c != max_color), rounds
+
+
+def balanced_coloring_np(edges, nv, colors, ncolors=None,
+                         strategy="first_fit", max_rounds=50):
+    """Oracle twin of ``operators.coloring.balanced_coloring`` (ref C16,
+    ``Coloring/vBase.cpp:6-169``), same deterministic spec: Jacobi rounds,
+    xxhash64-priority admission up to per-color capacity avg - freq,
+    adjacent same-target ties to the higher priority.
+
+    Returns (colors list, rounds_run).
+    """
+    from .xxh64 import xxhash64
+
+    nbrs = [set() for _ in range(nv)]
+    for s, d, _ in edges:
+        s, d = int(s), int(d)
+        if s != d:
+            nbrs[s].add(d)
+
+    colors = list(colors)
+    base = list(colors)
+    if ncolors is None:
+        ncolors = max(base) + 1 if base else 0
+    avg = -(-nv // ncolors) if ncolors else 0
+
+    freq0 = {}
+    for c in base:
+        freq0[c] = freq0.get(c, 0) + 1
+    oversize = {c for c, n in freq0.items() if n > avg}
+    if not oversize:
+        return colors, 0
+    prio = {v: xxhash64(v) for v in range(nv)}
+
+    rounds = 0
+    while rounds < max_rounds:
+        freq = {}
+        for c in colors:
+            freq[c] = freq.get(c, 0) + 1
+        eligible = [c for c in range(ncolors)
+                    if freq.get(c, 0) < avg and c not in oversize]
+        movers = [v for v in range(nv)
+                  if base[v] in oversize and freq.get(colors[v], 0) > avg]
+        if not eligible or not movers:
+            break
+        rounds += 1
+
+        pick = {}
+        for v in movers:
+            nb = {colors[j] for j in nbrs[v]}
+            free = [c for c in eligible if c not in nb]
+            if not free:
+                continue
+            if strategy == "least_used":
+                pick[v] = min(free, key=lambda c: (freq.get(c, 0), c))
+            else:
+                pick[v] = min(free)
+
+        admitted = {}
+        by_target = {}
+        for v, c in pick.items():
+            by_target.setdefault(c, []).append(v)
+        for c, vs in by_target.items():
+            cap = avg - freq.get(c, 0)
+            for v in sorted(vs, key=lambda x: -prio[x])[:cap]:
+                admitted[v] = c
+
+        moved = False
+        new_colors = list(colors)
+        for v, c in admitted.items():
+            loser = any(
+                j in admitted and admitted[j] == c and prio[j] > prio[v]
+                for j in nbrs[v]
+            )
+            if not loser:
+                new_colors[v] = c
+                moved = True
+        if not moved:
+            break
+        colors = new_colors
+
+    return colors, rounds

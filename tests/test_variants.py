@@ -133,3 +133,44 @@ def test_maxmin_colored_classes_are_conflict_free(spark):
         .count()
     )
     assert conflicts == 0
+
+
+# --- balanced coloring (C16, vBase contract) --------------------------------
+
+from grappolo_spark.operators.coloring import balanced_coloring, distance1_coloring, validate_coloring  # noqa: E402
+from grappolo_spark.oracle import balanced_coloring_np, distance1_coloring_np  # noqa: E402
+
+
+@pytest.mark.parametrize("strategy", ["first_fit", "least_used"])
+@pytest.mark.parametrize("name", ["karate", "grid3d", "star_hub"])
+def test_balanced_coloring_matches_oracle(spark, name, strategy):
+    edges, nv = fx.ALL_FIXTURES[name]()
+    rows = fx.symmetric_rows(edges)
+    df = fx.to_spark_edges(spark, edges)
+    colors_np, ncolors, _ = distance1_coloring_np(rows, nv)
+    colors_df, _, _ = distance1_coloring(spark, df, nv)
+    exp, exp_rounds = balanced_coloring_np(rows, nv, colors_np, strategy=strategy)
+    got, rounds = balanced_coloring(spark, df, colors_df, nv, strategy=strategy)
+    assert _collect(got, "color", nv) == exp, (name, strategy)
+    assert rounds == exp_rounds
+    # contract: output stays a proper coloring
+    assert validate_coloring(df, got) == 0
+
+
+def test_balanced_coloring_reduces_max_class(spark):
+    """On the star graph the hub's leaves all share one color — an
+    extremely oversized class the redistribution must drain toward
+    ceil(nv/ncolors) as far as adjacency permits (leaves are mutually
+    non-adjacent, so only capacity limits apply)."""
+    edges, nv = fx.star_hub(100)
+    df = fx.to_spark_edges(spark, edges)
+    colors_df, ncolors, _ = distance1_coloring(spark, df, nv)
+    before = max(
+        r["n"] for r in colors_df.groupBy("color").agg(F.count("*").alias("n")).collect()
+    )
+    got, _ = balanced_coloring(spark, df, colors_df, nv, ncolors=8)
+    after = max(
+        r["n"] for r in got.groupBy("color").agg(F.count("*").alias("n")).collect()
+    )
+    assert after < before
+    assert validate_coloring(df, got) == 0
