@@ -514,6 +514,15 @@ def _q_coloring_balanced(spark, sf):
     return out
 
 
+def _q_rcm(spark, sf):
+    from grappolo_spark.operators.rcm import rcm_ordering
+
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    p_order, _n_cc = rcm_ordering(spark, e, nv)
+    return p_order
+
+
 def _q_multimodal_meta(spark, sf):
     from grappolo_spark.functions import multimodal as MM
 
@@ -578,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "directed_louvain": _q_directed_louvain,
         "louvain_resistance": _q_louvain_resistance,
         "label_propagation": _q_labelprop,
+        "rcm_ordering": _q_rcm,
         "ann_lsh_topk": _q_ann_lsh,
         "multimodal_metadata": _q_multimodal_meta,
     }

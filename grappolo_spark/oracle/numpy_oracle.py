@@ -642,3 +642,63 @@ def fasttrack_resistance_np(edges, nv, threshold=1e-6, max_phases=200,
         "q_afg": res["q_afg"], "phases": phase, "total_iters": tot_iters,
         "num_clusters": num_clusters, "trajectory": trajectory,
     }
+
+
+# ---------------------------------------------------------------------------
+# Reverse Cuthill-McKee ordering (W4/C21)
+# ---------------------------------------------------------------------------
+
+def rcm_ordering_np(edges, nv):
+    """Deterministic RCM old->new ordering — engine-spec twin.
+
+    Reference seed: ``algoReverseCuthillMcKee(Strict)``
+    (``reverseCuthillMcKee.cpp:40-508``). The reference's within-level
+    order is scheduling-dependent (atomic fetch-add placement in the plain
+    variant; an unstable binary heap fed in racy discovery order — and a
+    use-after-free of the degree array — in the Strict variant), so the
+    engine keeps the CONTRACT (min-degree-source BFS, degree-ascending
+    levels, reversed at the end: ``pOrder[R[i]] = NV-1-i``, ``:227-230``)
+    with clean total orders: ties break to the smaller vid, isolated
+    vertices enter R first in vid order (``:84-89``), components are
+    visited in order of their min-(degree, vid) source (the reference's
+    next-unvisited-min-degree heap pop, ``:178-205``).
+
+    Returns (p_order old->new list, n_components).
+    """
+    adj = [set() for _ in range(nv)]
+    degree = [0] * nv
+    for s, d, _ in edges:
+        s, d = int(s), int(d)
+        adj[s].add(d)
+        degree[s] += 1  # CSR row length: every stored row counts
+
+    R = [v for v in range(nv) if degree[v] == 0]  # isolated first, vid order
+    visited = [degree[v] == 0 for v in range(nv)]
+
+    # component sources in (degree, vid) order
+    order = sorted((v for v in range(nv) if degree[v] > 0),
+                   key=lambda v: (degree[v], v))
+    n_cc = 0
+    for src in order:
+        if visited[src]:
+            continue
+        n_cc += 1
+        visited[src] = True
+        R.append(src)
+        frontier = [src]
+        while frontier:
+            nxt = set()
+            for v in frontier:
+                for x in adj[v]:
+                    if not visited[x]:
+                        nxt.add(x)
+            level = sorted(nxt, key=lambda v: (degree[v], v))
+            for x in level:
+                visited[x] = True
+                R.append(x)
+            frontier = level
+
+    p_order = [0] * nv
+    for i, v in enumerate(R):
+        p_order[v] = nv - i - 1
+    return p_order, n_cc

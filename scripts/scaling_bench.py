@@ -133,11 +133,17 @@ def main():
     probe = cpu_probe([1, n, n4])
     probe_eff = (probe[n4] / probe[n]) / 4.0
 
+    # best-of-2 per leg, legs interleaved: the sandbox host is co-tenant
+    # (identical code has measured 2x apart hours later), so single
+    # measurements carry that noise — best-of-interleaved-repeats bounds it
     results = {}
-    for cpus in (n, n4, 32):
-        print(f"running local[{cpus}] ...", flush=True)
-        results[cpus] = run_at(cpus, n_convs)
-        print(f"  {results[cpus]}", flush=True)
+    for rep in range(2):
+        for cpus in (n, n4, 32):
+            print(f"running local[{cpus}] (rep {rep + 1}) ...", flush=True)
+            r = run_at(cpus, n_convs)
+            print(f"  {r}", flush=True)
+            if cpus not in results or r["edges_per_sec"] > results[cpus]["edges_per_sec"]:
+                results[cpus] = r
 
     thr_n, thr_4n = results[n]["edges_per_sec"], results[n4]["edges_per_sec"]
     thr_32 = results[32]["edges_per_sec"]
@@ -175,7 +181,9 @@ Transcript corpus: ``synth_transcripts(n_convs={n_convs}, max_turns=20)``
 supersteps + one Louvain phase capped at {LOUVAIN_INNER} local-move
 sweeps (JVM warmed by an untimed iteration first). Shuffle/spill dirs on
 the ramdisk (``session.py``; +25% at 32 threads over disk-backed).
-Throughput = edge_rows x supersteps / seconds.
+Throughput = edge_rows x supersteps / seconds; each leg is the best of
+two interleaved repeats (the co-tenant sandbox host drifts ~2x between
+sessions, so single measurements carry that noise).
 
 ## Results — headline N→4N pair
 

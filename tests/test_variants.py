@@ -174,3 +174,37 @@ def test_balanced_coloring_reduces_max_class(spark):
     )
     assert after < before
     assert validate_coloring(df, got) == 0
+
+
+# --- RCM ordering (W4/C21) --------------------------------------------------
+
+from grappolo_spark.operators.rcm import rcm_ordering  # noqa: E402
+from grappolo_spark.oracle.numpy_oracle import rcm_ordering_np  # noqa: E402
+
+
+@pytest.mark.parametrize("name", ["karate", "path_n", "grid3d", "disconnected",
+                                  "two_cliques_bridge"])
+def test_rcm_matches_oracle(spark, name):
+    edges, nv = fx.ALL_FIXTURES[name]()
+    rows = fx.symmetric_rows(edges)
+    df = fx.to_spark_edges(spark, edges)
+    exp, exp_cc = rcm_ordering_np(rows, nv)
+    got_df, n_cc = rcm_ordering(spark, df, nv)
+    got = {r["vid"]: r["new_id"] for r in got_df.collect()}
+    assert [got[i] for i in range(nv)] == exp, name
+    assert n_cc == exp_cc
+    # permutation: bijection onto 0..nv-1
+    assert sorted(got.values()) == list(range(nv))
+
+
+def test_rcm_reduces_bandwidth(spark):
+    """On the path graph with shuffled ids, RCM must restore a low
+    bandwidth (|new(u)-new(v)| small for every edge)."""
+    n = 64
+    perm = [(i * 37) % n for i in range(n)]  # 37 coprime with 64: a bijection
+    edges = [(perm[i], perm[i + 1], 1.0) for i in range(n - 1)]
+    df = fx.to_spark_edges(spark, edges)
+    got_df, _ = rcm_ordering(spark, df, n)
+    new = {r["vid"]: r["new_id"] for r in got_df.collect()}
+    bw = max(abs(new[u] - new[v]) for u, v, _ in edges)
+    assert bw == 1  # a path relabeled by BFS from an endpoint is banded
