@@ -58,6 +58,50 @@ def cut_lineage(df: DataFrame) -> DataFrame:
         return ck
 
 
+def pin_static(df: DataFrame) -> DataFrame:
+    """Checkpoint a STATIC table keeping its partitioning metadata.
+
+    Plain ``localCheckpoint`` wraps the materialized RDD in a LogicalRDD
+    that RETAINS ``outputPartitioning`` — so a table pre-partitioned on
+    its per-iteration join key (``df.repartition(n, key)``) satisfies the
+    join's required distribution every superstep and only the small
+    mutable state side shuffles. ``cut_lineage``'s rewrap would drop that
+    metadata and reshuffle the big static side every iteration.
+
+    Use ONLY for tables checkpointed once per job (edge/transition
+    tables): the inherited Catalyst statistics that ``cut_lineage``
+    strips do not compound when there is no checkpoint-of-checkpoint
+    chain.
+
+    AQE is toggled off around the materialization: under AQE the
+    checkpoint captures ``AdaptiveSparkPlan.outputPartitioning`` =
+    UnknownPartitioning and every later join reshuffles the static side
+    (verified via explain) — without AQE it captures the real
+    ``hashpartitioning(key, n)``.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=True, storageLevel=_ckpt_level())
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def pin_partitioned(df: DataFrame, key: str) -> DataFrame:
+    """Hash-partition + sort a STATIC table on its per-iteration join key
+    and checkpoint it with both properties preserved: every superstep's
+    sort-merge join then reuses the partitioning AND the ordering, so
+    only the mutable state side is shuffled/sorted. Set
+    ``SPARK_GRAFT_PIN_STATIC=0`` to fall back to the plain lineage cut
+    (A/B harness)."""
+    if os.environ.get("SPARK_GRAFT_PIN_STATIC", "1") == "0":
+        return cut_lineage(df)
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return pin_static(df.repartition(nparts, key).sortWithinPartitions(key))
+
+
 def release(df) -> None:
     """Drop the cached blocks behind a ``cut_lineage`` result.
 

@@ -46,7 +46,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..lineage import cut_lineage, release
+from ..lineage import cut_lineage, pin_partitioned, release
 
 
 # ---------------------------------------------------------------------------
@@ -355,7 +355,10 @@ def louvain_phase(
     values are identical for integer-valued weights (float64-exact); AQE's
     skew-join handling covers the join side either way.
     """
-    edges = edges.transform(cut_lineage)
+    # static edge table pre-partitioned + pre-sorted on the per-sweep join
+    # key (dst): every J1 join then reuses both and only the community
+    # state shuffles — the big static side never moves again
+    edges = pin_partitioned(edges, "dst")
     deg = (
         edges.groupBy(F.col("src").alias("vid"))
         .agg(F.sum("weight").alias("degree"))

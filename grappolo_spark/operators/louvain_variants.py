@@ -52,7 +52,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..lineage import cut_lineage, release
+from ..lineage import cut_lineage, pin_partitioned, release
 from .louvain import _gain, coarsen, comm_info, renumber
 
 
@@ -83,7 +83,8 @@ def _base_phase(
     → 1/2m; 2.0 directed → 1/m). ``resistance_phase`` switches on the
     r_min/Q_AFG bookkeeping and, when > 1, the Q_AFG==0 exit rule.
     """
-    edges = edges.transform(cut_lineage)
+    # static out-adjacency pre-partitioned on the per-sweep join key (dst)
+    edges = pin_partitioned(edges, "dst")
     deg = (
         edges.groupBy(F.col("src").alias("vid"))
         .agg(F.sum("weight").alias("degree"))
