@@ -282,7 +282,7 @@ def _q_transcript_pagerank(spark, sf):
     tr = T.transcripts_from_events(spark, sf)
     edges, turns, tools = build_edges(tr)
     nv = turns.count() + tools.count()
-    ranks, _ = pagerank(spark, edges, nv, tol=1e-9, max_iter=60)
+    ranks, _ = pagerank(spark, edges, nv, tol=0.0, max_iter=PAGERANK_ITERS)
     return ranks.select("vid", _r6("rank").alias("rank"))
 
 
@@ -333,8 +333,13 @@ def _q_lsh_pairs(spark, sf):
 
 
 def _q_ngram_jaccard(spark, sf):
+    """LSH-candidate-restricted n-gram Jaccard verify — the production
+    wiring: candidates from banded MinHash (never all-pairs), exact
+    Jaccard only on those."""
     docs = T.table(spark, sf, "documents")
-    pairs = TX.ngram_jaccard_pairs(TX.doc_shingles(docs), threshold=0.5)
+    sh = TX.doc_shingles(docs)
+    cands = TX.lsh_candidate_pairs(TX.minhash_signatures(sh))
+    pairs = TX.ngram_jaccard_pairs(sh, threshold=0.5, restrict_pairs=cands)
     return pairs.select("doc_a", "doc_b", _r6("jaccard").alias("jaccard"))
 
 
@@ -399,6 +404,35 @@ def _q_nation_revenue(spark, sf):
     )
 
 
+def _q_louvain_init(spark, sf):
+    """Reference greedy init pass (initCommAssOptVec_SFP,
+    vectorizedLouvainMethod.cpp:194) — the first Louvain gain argmax from
+    singletons, fully SQL-expressible (hard DuckDB gate on the gain
+    kernel A3-A5/J1-J2)."""
+    from grappolo_spark.operators.louvain import louvain_init
+
+    e = T.copurchase_edges(spark, sf)
+    deg = e.groupBy(F.col("src").alias("vid")).agg(F.sum("weight").alias("degree"))
+    two_m = e.agg(F.sum("weight")).collect()[0][0]
+    return louvain_init(e, deg, 1.0 / two_m)
+
+
+def _q_simhash_near_pairs(spark, sf):
+    docs = T.table(spark, sf, "documents")
+    return TX.simhash_near_pairs(TX.simhash(docs))
+
+
+def _q_vf_pipeline(spark, sf):
+    """VF → renumber → VF-coarsened graph (driverForGraphClustering.cpp:
+    111-131) as one query: the coarse edge table with self-loops dropped."""
+    from grappolo_spark.operators.vertex_following import vertex_following_pipeline
+
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    _c2, new_edges, _n = vertex_following_pipeline(spark, e, nv)
+    return new_edges.select("src", "dst", _r6("weight").alias("weight"))
+
+
 # --- iterative graph algorithms (rows-only entries; pytest = exact gate) ---
 
 def _q_vertex_following(spark, sf):
@@ -447,10 +481,14 @@ def _q_louvain_arrow(spark, sf):
     return res.c
 
 
+PAGERANK_ITERS = 25  # fixed count so the DuckDB recursive-CTE twin runs the
+                     # exact same number of supersteps (no data-dependent exit)
+
+
 def _q_pagerank(spark, sf):
     e = T.copurchase_edges(spark, sf)
     nv = T.copurchase_nv(spark, sf)
-    ranks, _ = pagerank(spark, e, nv, tol=1e-9, max_iter=60)
+    ranks, _ = pagerank(spark, e, nv, tol=0.0, max_iter=PAGERANK_ITERS)
     return ranks.select("vid", _r6("rank").alias("rank"))
 
 
@@ -530,6 +568,23 @@ def _q_multimodal_meta(spark, sf):
     return MM.extract_metadata(MM.attach_media(docs))
 
 
+def _q_multimodal_features(spark, sf):
+    """Decode → 16-bin content histogram over real pixels/samples (the
+    feature stage of the multimodal pipeline); rows-only (float32 array
+    output — exactness gate is tests/test_multimodal.py)."""
+    from grappolo_spark.functions import multimodal as MM
+
+    docs = T.table(spark, sf, "documents")
+    return MM.extract_features(MM.attach_media(docs))
+
+
+def _q_frame_sample(spark, sf):
+    from grappolo_spark.functions import multimodal as MM
+
+    docs = T.table(spark, sf, "documents")
+    return MM.frame_sample(MM.attach_media(docs), every_n=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph core (SURVEY §2.1/§2.4/§2.2)
@@ -575,6 +630,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": _q_nation_revenue,
         # preprocessing (C17) — SQL-expressible single pass
         "vertex_following": _q_vertex_following,
+        "vf_pipeline_coarse": _q_vf_pipeline,
+        # Louvain greedy init (the reference's initCommAss pass) — SQL gate
+        # on the gain kernel
+        "louvain_greedy_init": _q_louvain_init,
+        "simhash_near_pairs": _q_simhash_near_pairs,
         # iterative graph algorithms — rows-only (pytest exactness gate)
         "pagerank": _q_pagerank,
         "louvain_communities": _q_louvain,
@@ -590,6 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rcm_ordering": _q_rcm,
         "ann_lsh_topk": _q_ann_lsh,
         "multimodal_metadata": _q_multimodal_meta,
+        "multimodal_features": _q_multimodal_features,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -651,6 +713,66 @@ sigs AS (
     FROM sh GROUP BY doc_id
 )
 """
+
+
+def _pagerank_cte(edges_rel: str, nv_expr: str, all_vids_rel: str,
+                  iters: int, alpha: float = 0.85) -> str:
+    """DuckDB recursive-CTE twin of operators/pagerank.py with a FIXED
+    iteration count.
+
+    Mirrors the engine exactly: ranks iterate only over non-dangling
+    vertices; the dangling mass is a scalar with the closed-form
+    recurrence r_d(k) = c0*(1-q^k)/(1-q) + q^k/nv (q = a*nd/nv,
+    c0 = (1-a)/nv) — algebraically identical to the engine's
+    r_d(k+1) = c0 + a*nd*r_d(k)/nv with r_d(0) = 1/nv.
+
+    Returns a full SELECT (round 6dp) producing (vid, rank) over
+    ``all_vids_rel``.
+    """
+    a = alpha
+    # r_d at iteration k, as a SQL expression in k
+    def rd(k: str) -> str:
+        return (
+            f"(CASE WHEN pp.nd = 0 THEN 1.0/pp.nv ELSE "
+            f"((1.0-{a})/pp.nv) * (1.0 - POWER({a}*pp.nd/pp.nv, {k}))"
+            f" / (1.0 - {a}*pp.nd/pp.nv)"
+            f" + POWER({a}*pp.nd/pp.nv, {k}) / pp.nv END)"
+        )
+
+    return f"""
+        pdeg AS (SELECT src, SUM(weight) AS wdeg FROM {edges_rel} GROUP BY src),
+        ptrans AS MATERIALIZED (
+            SELECT e.src, e.dst, e.weight / d.wdeg AS factor
+            FROM {edges_rel} e JOIN pdeg d USING (src)
+        ),
+        pverts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM {edges_rel}),
+        pparam AS MATERIALIZED (
+            SELECT CAST({nv_expr} AS DOUBLE) AS nv,
+                   CAST({nv_expr} - (SELECT COUNT(*) FROM pverts) AS DOUBLE) AS nd
+        ),
+        pr(it, vid, rank) AS (
+            SELECT 0, vid, 1.0 / (SELECT nv FROM pparam) FROM pverts
+            UNION ALL
+            SELECT s.it, s.vid,
+                   (1.0-{a})/pp.nv
+                   + {a} * (COALESCE(s.c, 0.0) + pp.nd * {rd('s.it - 1')} / pp.nv)
+            FROM (
+                SELECT i.it + 1 AS it, v.vid, c.c
+                FROM pverts v
+                CROSS JOIN (SELECT DISTINCT it FROM pr) i
+                LEFT JOIN (
+                    SELECT t.dst AS vid, SUM(t.factor * p2.rank) AS c
+                    FROM pr p2 JOIN ptrans t ON t.src = p2.vid
+                    GROUP BY t.dst
+                ) c ON c.vid = v.vid
+            ) s, pparam pp
+            WHERE s.it <= {iters}
+        ),
+        pfinal AS (SELECT vid, rank FROM pr WHERE it = {iters}),
+        pdangling AS (SELECT {rd(str(iters))} AS r FROM pparam pp)
+        SELECT v.vid, ROUND(COALESCE(f.rank, (SELECT r FROM pdangling)), 6) AS rank
+        FROM {all_vids_rel} v LEFT JOIN pfinal f USING (vid)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -819,6 +941,167 @@ def oracle_sql() -> dict[str, str]:
         SELECT v AS vid, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY v
     """
 
+    sql["louvain_greedy_init"] = f"""
+        WITH {_EDGES},
+        vdeg AS (SELECT src AS vid, SUM(weight) AS degree FROM edges GROUP BY src),
+        cfac AS (SELECT 1.0 / SUM(weight) AS c FROM edges),
+        gains AS (
+            SELECT e.src, e.dst,
+                   (2.0 * (e.weight - 0.0))
+                   - (2.0 * d1.degree * d2.degree * (SELECT c FROM cfac)) AS gain
+            FROM edges e
+            JOIN vdeg d1 ON e.src = d1.vid
+            JOIN vdeg d2 ON e.dst = d2.vid
+            WHERE e.src <> e.dst
+        ),
+        best AS (
+            SELECT src, dst AS best FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY gain DESC, dst ASC) AS rn
+                FROM gains WHERE gain > 0
+            ) WHERE rn = 1
+        )
+        SELECT v.vid,
+               CAST(CASE WHEN b.best IS NOT NULL AND b.best < v.vid
+                         THEN b.best ELSE v.vid END AS BIGINT) AS comm
+        FROM vdeg v LEFT JOIN best b ON b.src = v.vid
+    """
+
+    sql["vf_pipeline_coarse"] = f"""
+        WITH {_EDGES},
+        degs AS (SELECT src AS vid, COUNT(*) AS n, MAX(dst) AS only_dst
+                 FROM edges GROUP BY src),
+        vf AS (
+            SELECT p.p_partkey AS vid,
+                   CASE WHEN d.n IS NULL THEN -1
+                        WHEN d.n = 1 AND d.only_dst <> p.p_partkey
+                             AND (t.n > 1 OR p.p_partkey > d.only_dst)
+                        THEN d.only_dst
+                        ELSE p.p_partkey END AS comm
+            FROM part p
+            LEFT JOIN degs d ON p.p_partkey = d.vid
+            LEFT JOIN degs t ON d.only_dst = t.vid
+        ),
+        firsts AS (SELECT comm, MIN(vid) AS first_vid FROM vf
+                   WHERE comm >= 0 GROUP BY comm),
+        mapping AS (SELECT comm,
+                           DENSE_RANK() OVER (ORDER BY first_vid) - 1 AS new_comm
+                    FROM firsts),
+        ren AS (
+            SELECT vf.vid, COALESCE(m.new_comm, vf.comm) AS comm
+            FROM vf LEFT JOIN mapping m ON vf.comm = m.comm
+        )
+        SELECT c1.comm AS src, c2.comm AS dst, ROUND(SUM(e.weight), 6) AS weight
+        FROM edges e
+        JOIN ren c1 ON e.src = c1.vid
+        JOIN ren c2 ON e.dst = c2.vid
+        WHERE c1.comm <> c2.comm
+        GROUP BY 1, 2
+    """
+
+    sql["pagerank"] = (
+        f"WITH RECURSIVE {_EDGES},\n"
+        + _pagerank_cte(
+            "edges",
+            "(SELECT COUNT(*) FROM part)",
+            "(SELECT p_partkey AS vid FROM part)",
+            PAGERANK_ITERS,
+        )
+    )
+
+    sql["label_propagation"] = f"""
+        WITH RECURSIVE {_EDGES},
+        lnbr AS (SELECT src, dst, weight FROM edges WHERE src <> dst),
+        lp(it, vid, label) AS (
+            SELECT 0, p_partkey, CAST(p_partkey AS BIGINT) FROM part
+            UNION ALL
+            SELECT l.it + 1, l.vid, COALESCE(b.new_label, l.label)
+            FROM lp l
+            LEFT JOIN (
+                SELECT src AS vid, label AS new_label FROM (
+                    SELECT e.src, lab.label,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY e.src
+                               ORDER BY SUM(e.weight) DESC, lab.label ASC
+                           ) AS rn
+                    FROM lnbr e JOIN lp lab ON lab.vid = e.dst
+                    GROUP BY e.src, lab.label
+                ) WHERE rn = 1
+            ) b ON b.vid = l.vid
+            WHERE l.it < 10
+        )
+        SELECT vid, label FROM lp WHERE it = 10
+    """
+
+    sql["rcm_ordering"] = f"""
+        WITH RECURSIVE {_EDGES},
+        rdeg AS (SELECT src AS vid, COUNT(*) AS degree FROM edges GROUP BY src),
+        rnbr AS (SELECT src, dst FROM edges WHERE src <> dst),
+        reach(v, r) AS (
+            SELECT vid, vid FROM rdeg
+            UNION
+            SELECT e.src, reach.r FROM rnbr e JOIN reach ON e.dst = reach.v
+        ),
+        rcomp AS (SELECT v AS vid, MIN(r) AS comp FROM reach GROUP BY v),
+        rsrc AS (
+            SELECT comp, vid AS src_vid, degree AS src_deg FROM (
+                SELECT c.comp, c.vid, d.degree,
+                       ROW_NUMBER() OVER (PARTITION BY c.comp
+                                          ORDER BY d.degree, c.vid) AS rn
+                FROM rcomp c JOIN rdeg d USING (vid)
+            ) WHERE rn = 1
+        ),
+        bfs(rnd, vid, level) AS (
+            SELECT 0, c.vid, CASE WHEN s.src_vid IS NOT NULL THEN 0 END
+            FROM rcomp c LEFT JOIN rsrc s ON s.src_vid = c.vid
+            UNION ALL
+            SELECT s.rnd + 1, s.vid,
+                   COALESCE(s.level,
+                            CASE WHEN h.vid IS NOT NULL THEN s.rnd + 1 END)
+            FROM bfs s
+            LEFT JOIN (
+                SELECT DISTINCT e.dst AS vid
+                FROM bfs f JOIN rnbr e ON e.src = f.vid
+                WHERE f.level = f.rnd
+            ) h ON h.vid = s.vid
+            WHERE s.rnd < 10000
+              AND EXISTS (SELECT 1 FROM bfs u WHERE u.level IS NULL)
+        ),
+        lvl AS (SELECT vid, level FROM bfs WHERE rnd = (SELECT MAX(rnd) FROM bfs)),
+        riso AS (
+            SELECT p_partkey AS vid FROM part
+            WHERE p_partkey NOT IN (SELECT vid FROM rdeg)
+        ),
+        iso_pos AS (SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS pos FROM riso),
+        main_pos AS (
+            SELECT l.vid,
+                   (SELECT COUNT(*) FROM riso)
+                   + ROW_NUMBER() OVER (ORDER BY s.src_deg, s.src_vid, l.level,
+                                        d.degree, l.vid) - 1 AS pos
+            FROM lvl l
+            JOIN rdeg d ON d.vid = l.vid
+            JOIN rcomp c ON c.vid = l.vid
+            JOIN rsrc s ON s.comp = c.comp
+        )
+        SELECT vid, CAST((SELECT COUNT(*) FROM part) - 1 - pos AS BIGINT) AS new_id
+        FROM (SELECT * FROM iso_pos UNION ALL SELECT * FROM main_pos)
+    """
+
+    from grappolo_spark.oracle.coloring_sql import (
+        balanced_sql, color_stats_sql, distance1_sql, maxmin_sql,
+    )
+
+    _PART_VIDS = "(SELECT p_partkey AS vid FROM part)"
+    _NV = "(SELECT COUNT(*) FROM part)"
+    sql["graph_coloring"] = distance1_sql(_EDGES, _PART_VIDS)
+    sql["color_stats"] = color_stats_sql(_EDGES, _PART_VIDS)
+    sql["coloring_maxmin"] = maxmin_sql(_EDGES, _PART_VIDS)
+    # engine bound is max_rounds=50 but redistribution converges in ~6
+    # rounds at sf0.01 (converged rounds are no-ops); 16 unrolled rounds
+    # keeps the DuckDB plan compact with >2x margin
+    sql["coloring_balanced"] = balanced_sql(_EDGES, _PART_VIDS, _NV, max_rounds=16)
+
     sql["event_transitions"] = """
         WITH seq AS (
             SELECT user_id, event_type,
@@ -926,6 +1209,16 @@ def oracle_sql() -> dict[str, str]:
         FROM per_vid
     """
 
+    sql["transcript_pagerank"] = (
+        f"WITH RECURSIVE {_TR_GRAPH},\n"
+        + _pagerank_cte(
+            "tredges",
+            "((SELECT COUNT(*) FROM turns) + (SELECT COUNT(*) FROM tools))",
+            "(SELECT vid FROM turns UNION ALL SELECT vid FROM tools)",
+            PAGERANK_ITERS,
+        )
+    )
+
     sql["dedup_exact"] = """
         SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
                MIN(doc_id) AS canonical_doc_id
@@ -990,6 +1283,32 @@ def oracle_sql() -> dict[str, str]:
         FROM scores GROUP BY doc_id
     """
 
+    sql["simhash_near_pairs"] = f"""
+        WITH {_TOKS},
+        tk AS (SELECT doc_id, md5(UNNEST(tok)) AS h FROM toks),
+        tb AS (SELECT doc_id, h, UNNEST(range(60)) AS j FROM tk),
+        bits AS (
+            SELECT doc_id, j,
+                   ((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                    >> CAST(3 - j % 4 AS INT)) & 1 AS bit
+            FROM tb
+        ),
+        scores AS (SELECT doc_id, j, SUM(2 * bit - 1) AS score FROM bits GROUP BY doc_id, j),
+        sh64 AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN score > 0
+                                 THEN (CAST(1 AS BIGINT) << CAST(59 - j AS INT))
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM scores GROUP BY doc_id
+        ),
+        bucketed AS (SELECT doc_id, simhash, simhash >> 40 AS bucket FROM sh64)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
     sql["minhash_signatures"] = f"""
         WITH {_TOKS}, {_SHINGLES}, {_SIGS}
         SELECT doc_id, sig_0, sig_1, sig_2, sig_3, sig_4, sig_5, sig_6, sig_7 FROM sigs
@@ -1009,11 +1328,24 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["ngram_jaccard_pairs"] = f"""
-        WITH {_TOKS}, {_SHINGLES},
+        WITH {_TOKS}, {_SHINGLES}, {_SIGS},
+        bands AS (
+            SELECT doc_id, 0 AS band, md5(sig_0 || '#' || sig_1) AS bh FROM sigs
+            UNION ALL SELECT doc_id, 1, md5(sig_2 || '#' || sig_3) FROM sigs
+            UNION ALL SELECT doc_id, 2, md5(sig_4 || '#' || sig_5) FROM sigs
+            UNION ALL SELECT doc_id, 3, md5(sig_6 || '#' || sig_7) FROM sigs
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+            WHERE a.doc_id < b.doc_id
+        ),
         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         com AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+            FROM cands c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
@@ -1022,6 +1354,46 @@ def oracle_sql() -> dict[str, str]:
         JOIN cnt ca ON com.doc_a = ca.doc_id
         JOIN cnt cb ON com.doc_b = cb.doc_id
         WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+    """
+
+    # metadata recomputed from the synthesis-parameter rules shared with
+    # functions/multimodal.py (an independent closed-form derivation of
+    # what the engine reads back from the real BMP/WAV/VID0 headers)
+    sql["multimodal_metadata"] = """
+        WITH m AS (
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS media_type,
+                   strlen(text) AS n
+            FROM documents
+        )
+        SELECT doc_id, media_type,
+               CAST(CASE media_type
+                    WHEN 'image' THEN 54 + ((3 * (4 + n % 13) + 3) // 4) * 4
+                                           * (4 + doc_id % 11)
+                    WHEN 'audio' THEN 44 + 2 * (32 + (n * 3) % 241)
+                    ELSE 10 + (1 + doc_id % 12) * (2 + doc_id % 7)
+                              * (2 + n % 5) * 3 END AS BIGINT) AS n_bytes,
+               CAST(CASE media_type
+                    WHEN 'image' THEN 4 + n % 13
+                    WHEN 'audio' THEN 32 + (n * 3) % 241
+                    ELSE 2 + doc_id % 7 END AS INTEGER) AS width,
+               CAST(CASE media_type
+                    WHEN 'image' THEN 4 + doc_id % 11
+                    WHEN 'audio' THEN 1
+                    ELSE 2 + n % 5 END AS INTEGER) AS height,
+               CAST(CASE media_type
+                    WHEN 'image' THEN 1
+                    WHEN 'audio' THEN 1
+                    ELSE 1 + doc_id % 12 END AS INTEGER) AS n_frames
+        FROM m
+    """
+
+    sql["frame_sample"] = """
+        SELECT doc_id,
+               CAST(UNNEST(range(0, 1 + doc_id % 12, 5)) AS INTEGER) AS frame_idx
+        FROM documents WHERE doc_id % 3 = 2
     """
 
     sql["embed_cosine_topk"] = """
@@ -1041,6 +1413,70 @@ def oracle_sql() -> dict[str, str]:
         SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank,
                ROUND(cos, 6) AS cosine
         FROM r WHERE rn <= 5
+    """
+
+    # sign-LSH ANN twin: identical md5-derived hyperplane signs, bucket
+    # bits, 1-bit multiprobe and (cosine DESC, nid) ranking as
+    # functions/vectors.py:lsh_ann_topk
+    sql["ann_lsh_topk"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        n AS MATERIALIZED (
+            SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+        ),
+        comp AS (
+            SELECT vec_id, UNNEST(e) AS val, UNNEST(range(len(e))) AS i FROM v
+        ),
+        signs AS (
+            SELECT pp.p, ii.i,
+                   CASE WHEN strpos('89abcdef',
+                                    substr(md5(pp.p || ':' || ii.i), 1, 1)) > 0
+                        THEN 1.0 ELSE -1.0 END AS s
+            FROM (SELECT UNNEST(range(8)) AS p) pp
+            CROSS JOIN (SELECT UNNEST(range(64)) AS i) ii
+        ),
+        dots AS (
+            SELECT c.vec_id, s.p, SUM(c.val * s.s) AS d
+            FROM comp c JOIN signs s ON s.i = c.i
+            GROUP BY 1, 2
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN d >= 0 THEN (1 << CAST(7 - p AS INT))
+                                 ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id
+        ),
+        hashed AS MATERIALIZED (
+            SELECT n.vec_id, n.e, n.nrm, b.bucket
+            FROM n JOIN buckets b USING (vec_id)
+        ),
+        probes AS (
+            SELECT qid, UNNEST([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
+                                xor(qb, 8), xor(qb, 16), xor(qb, 32),
+                                xor(qb, 64), xor(qb, 128)]) AS bucket
+            FROM (SELECT vec_id AS qid, bucket AS qb FROM hashed
+                  WHERE vec_id < 50)
+        ),
+        cand AS (
+            SELECT DISTINCT p.qid, h.vec_id AS nid
+            FROM probes p JOIN hashed h USING (bucket)
+            WHERE h.vec_id <> p.qid
+        ),
+        cos AS (
+            SELECT c.qid, c.nid,
+                   list_dot_product(hq.e, hn.e) / (hq.nrm * hn.nrm) AS cosine
+            FROM cand c
+            JOIN hashed hq ON hq.vec_id = c.qid
+            JOIN hashed hn ON hn.vec_id = c.nid
+        ),
+        rr AS (
+            SELECT qid, nid, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, nid) AS rn
+            FROM cos
+        )
+        SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank,
+               ROUND(cosine, 6) AS cosine
+        FROM rr WHERE rn <= 5
     """
 
     sql["embed_centroids"] = """

@@ -188,14 +188,26 @@ def ngram_jaccard_pairs(
     counts = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = doc_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = doc_sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
     if restrict_pairs is not None:
-        common = common.join(restrict_pairs, ["doc_a", "doc_b"], "left_semi")
+        # candidate-driven plan: never self-join on the shingle key (a hot
+        # shingle shared by k docs emits k² rows there). Instead expand
+        # each candidate pair by doc_a's shingles and probe doc_b's set on
+        # (doc_b, shingle) — cost Σ_pairs |A|, bounded by the candidate
+        # generator (LSH bands), independent of shingle hotness.
+        common = (
+            restrict_pairs.select("doc_a", "doc_b")
+            .join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("common"))
+        )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (

@@ -194,7 +194,10 @@ def maxmin_coloring(
         .select("src", "dst")
         .transform(cut_lineage)
     )
-    verts = nbr.select(F.col("src").alias("vid")).distinct()
+    # seed ALL nv vertices at the sentinel (like the oracle twin): on an
+    # edgeless graph the first round still runs and colors everything 0,
+    # so the reported round count matches maxmin_coloring_np
+    verts = spark.range(nv).select(F.col("id").alias("vid"))
     state = verts.select("vid", F.lit(max_color).alias("color")).transform(cut_lineage)
 
     rounds = 0
@@ -242,10 +245,7 @@ def maxmin_coloring(
             continue
         break
 
-    all_v = spark.range(nv).select(F.col("id").alias("vid"))
-    colors = all_v.join(state, "vid", "left").select(
-        "vid", F.coalesce("color", F.lit(0)).alias("color")
-    ).transform(cut_lineage)
+    colors = state.select("vid", "color").transform(cut_lineage)
     n_colored = colors.filter(F.col("color") != max_color).count()
     return colors, int(n_colored), rounds
 

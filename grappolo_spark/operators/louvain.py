@@ -614,16 +614,28 @@ def louvain_phase_colored(
     n_colors = colors.join(verts, "vid").agg(F.max("color")).collect()[0][0]
     n_colors = int(n_colors) + 1 if n_colors is not None else 0
 
-    curr = verts.select("vid", F.col("vid").alias("comm")).transform(cut_lineage)
+    curr = verts.select(
+        "vid", F.col("vid").alias("comm"), F.lit(False).alias("moved")
+    ).transform(cut_lineage)
     prev_mod = -1.0
     change = False
     num_iters = 0
     trajectory = []
 
+    # non-empty color classes, ascending — one driver collect up front
+    # instead of touching empty classes inside the sweep
+    live_colors = sorted(
+        int(r["color"])
+        for r in colors.join(verts, "vid").select("color").distinct().collect()
+    )
+
     while True:
         num_iters += 1
-        moved_total = 0
-        for k in range(n_colors):
+        # reset the per-sweep moved flag; the flag rides the class-loop
+        # checkpoints so the sweep needs NO extra count action per class —
+        # moved_total is read once from the final class's materialized state
+        curr = curr.select("vid", "comm", F.lit(False).alias("moved"))
+        for k in live_colors:
             info = comm_info(curr, deg)
             cdst = curr.select(F.col("vid").alias("dst"), F.col("comm").alias("comm_dst"))
             cand = (
@@ -702,11 +714,13 @@ def louvain_phase_colored(
             )
             new_curr = (
                 curr.join(moves, "vid", "left")
-                .select("vid", F.coalesce("new_comm", F.col("comm")).alias("comm"))
+                .select(
+                    "vid",
+                    F.coalesce("new_comm", F.col("comm")).alias("comm"),
+                    (F.col("moved") | F.col("new_comm").isNotNull()).alias("moved"),
+                )
                 .transform(cut_lineage)
             )
-            n_moves = moves.count()
-            moved_total += n_moves
             curr.unpersist()
             curr = new_curr
 
@@ -719,9 +733,11 @@ def louvain_phase_colored(
             .filter(F.col("comm_src") == F.col("comm_dst"))
             .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("e_xx"))
             .crossJoin(info.agg(F.sum(F.col("c_degree") * F.col("c_degree")).alias("a2_x")))
+            .crossJoin(curr.agg(F.sum(F.col("moved").cast("long")).alias("n_moved")))
             .collect()[0]
         )
         curr_mod = (mrow["e_xx"] or 0.0) * const - (mrow["a2_x"] or 0.0) * const * const
+        moved_total = int(mrow["n_moved"] or 0)
         trajectory.append(curr_mod)
         if moved_total:
             change = True

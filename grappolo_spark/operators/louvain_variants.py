@@ -220,19 +220,20 @@ def _base_phase(
         cand.unpersist()
 
         stop = False
-        if resistance_phase is not None:
-            # r_min / Q_AFG bookkeeping (ref :192-218); Σ size² keeps one
-            # slot per isolated vertex in the reference — add n_iso back
+        if resistance_phase is not None and resistance_phase > 1:
+            # r_min / Q_AFG bookkeeping (ref :192-218) — guarded by
+            # ``if (phase > 1)`` in the reference (:193), so phase 1 keeps
+            # the -1.0 sentinel. Σ size² keeps one slot per isolated
+            # vertex in the reference — add n_iso back, EXCEPT on the
+            # first iteration where curr is still the singleton init and
+            # comm_info already counts the isolated singletons.
             w_2 = 1.0 / const if const > 0 else 0.0
-            n_c = float(stats["n_c"] or 0) + n_iso
+            n_c = float(stats["n_c"] or 0) + (n_iso if num_iters > 1 else 0)
             nd = float(nv) - (n_c / float(nv)) if nv > 0 else 0.0
             r_min = (-(w_2) / nd) * curr_mod if nd != 0 else 0.0
             denom = w_2 - float(nv) * r_min
             q_afg = ((w_2 * curr_mod) + (r_min * nd)) / denom if denom != 0 else 0.0
-            if resistance_phase > 1:
-                stop = q_afg == 0
-            else:
-                stop = (curr_mod - prev_mod) < thresh
+            stop = q_afg == 0
         else:
             stop = (curr_mod - prev_mod) < thresh
         if stop or num_iters >= max_inner:

@@ -106,11 +106,17 @@ def pagerank(
         )
         new_r_d = (1.0 - alpha) / nv + alpha * (dmass / nv)
 
-        delta = (
-            new_state.agg(F.max(F.abs(F.col("rank") - F.col("prev")))).collect()[0][0]
-            or 0.0
-        )
-        delta = max(delta, abs(new_r_d - r_d))
+        if tol > 0.0:
+            delta = (
+                new_state.agg(F.max(F.abs(F.col("rank") - F.col("prev")))).collect()[0][0]
+                or 0.0
+            )
+            delta = max(delta, abs(new_r_d - r_d))
+        else:
+            # fixed-iteration mode: no convergence action per superstep —
+            # the localCheckpoint inside cut_lineage already materialized
+            # new_state, so the loop stays one job per iteration
+            delta = float("inf")
         # the old state is dead once new_state is materialized and delta
         # collected — free its checkpoint blocks NOW instead of waiting on
         # the GC-driven ContextCleaner (which falls behind and OOMs long

@@ -1,0 +1,276 @@
+"""DuckDB recursive-CTE twins of the coloring operators (C14/C15/C16).
+
+Each function returns the FULL oracle SQL for the matching
+``__spark_entry__`` query, given the name of an ``edges`` relation
+(symmetric (src, dst, weight)) and the SQL for the dense vertex space.
+Priorities are Spark's ``xxhash64`` computed inside SQL via
+``oracle.xxh64_sql`` (bit-exact, see tests/test_oracle_sql.py).
+
+These oracles re-run the engine's deterministic round structure:
+
+* ``distance1``: speculative first-fit + bijective-priority conflict
+  resolution (operators/coloring.py:distance1_coloring) — recursion until
+  no vertex is uncolored;
+* ``maxmin``: nItrs×nHash bounded-palette MaxMin rounds
+  (operators/coloring.py:maxmin_coloring);
+* ``balanced``: vBase redistribution rounds on top of the distance-1
+  coloring (operators/coloring.py:balanced_coloring, first_fit strategy).
+"""
+
+from __future__ import annotations
+
+from .xxh64_sql import xxh64_sql
+
+
+def _tent_sql() -> str:
+    """Tentative first-fit colors for currently-uncolored vertices.
+
+    min-free color via the sorted-distinct-gap trick: with a vertex's
+    distinct colored-neighbour colors c_0 < c_1 < ... the smallest free
+    color is the first rank where c_rn != rn, else the count — identical
+    to the engine's sequence(0, n_colored) anti-join.
+    """
+    return """
+        SELECT u.vid, u.prio, COALESCE(mf.minfree, 0) AS t
+        FROM (SELECT vid, prio FROM cst WHERE color IS NULL) u
+        LEFT JOIN (
+            SELECT src AS vid,
+                   CAST(COALESCE(MIN(CASE WHEN color <> rn THEN rn END),
+                                 COUNT(*)) AS INTEGER) AS minfree
+            FROM (
+                SELECT src, color,
+                       ROW_NUMBER() OVER (PARTITION BY src ORDER BY color) - 1 AS rn
+                FROM (
+                    SELECT DISTINCT e.src, s2.color
+                    FROM cnbr e
+                    JOIN cst uu ON uu.vid = e.src AND uu.color IS NULL
+                    JOIN cst s2 ON s2.vid = e.dst
+                    WHERE s2.color IS NOT NULL
+                )
+            )
+            GROUP BY src
+        ) mf ON mf.vid = u.vid
+    """
+
+
+def distance1_cte(edges_rel: str) -> str:
+    """Shared WITH-body (no leading WITH RECURSIVE) computing ``cfinal``:
+    the last-round (vid, color) state of the distance-1 coloring over the
+    edge-incident vertices."""
+    prio_rel = xxh64_sql("cverts", ["vid"], "vid", "42", "prio")
+    tent = _tent_sql()
+    return f"""
+        cnbr AS MATERIALIZED (
+            SELECT src, dst FROM {edges_rel} WHERE src <> dst
+        ),
+        cverts AS (SELECT DISTINCT src AS vid FROM cnbr),
+        cprio AS MATERIALIZED (SELECT vid, prio FROM {prio_rel}),
+        cst(rnd, vid, color, prio) AS (
+            SELECT 0, vid, CAST(NULL AS INTEGER), prio FROM cprio
+            UNION ALL
+            SELECT s.rnd + 1, s.vid, COALESCE(s.color, a.new_color), s.prio
+            FROM cst s
+            LEFT JOIN (
+                SELECT t.vid, t.t AS new_color
+                FROM ({tent}) t
+                LEFT JOIN (
+                    SELECT t1.vid, MAX(t2.prio) AS mx
+                    FROM cnbr e
+                    JOIN ({tent}) t1 ON t1.vid = e.src
+                    JOIN ({tent}) t2 ON t2.vid = e.dst AND t2.t = t1.t
+                    GROUP BY t1.vid
+                ) c ON c.vid = t.vid
+                WHERE c.mx IS NULL OR t.prio > c.mx
+            ) a ON a.vid = s.vid
+            WHERE EXISTS (SELECT 1 FROM cst u WHERE u.color IS NULL)
+              AND s.rnd < 200
+        ),
+        cfinal AS (
+            SELECT vid, color FROM cst
+            WHERE rnd = (SELECT MAX(rnd) FROM cst)
+        )
+    """
+
+
+def distance1_sql(edges_cte: str, all_vids_rel: str) -> str:
+    """(vid, color) over the full dense vertex space; isolated → 0."""
+    return f"""
+        WITH RECURSIVE {edges_cte},
+        {distance1_cte('edges')}
+        SELECT v.vid, CAST(COALESCE(f.color, 0) AS INTEGER) AS color
+        FROM {all_vids_rel} v LEFT JOIN cfinal f USING (vid)
+    """
+
+
+def color_stats_sql(edges_cte: str, all_vids_rel: str) -> str:
+    """n_colors/max_class/avg_class/var_class over the distance-1 colors."""
+    return f"""
+        WITH RECURSIVE {edges_cte},
+        {distance1_cte('edges')},
+        allc AS (
+            SELECT CAST(COALESCE(f.color, 0) AS INTEGER) AS color
+            FROM {all_vids_rel} v LEFT JOIN cfinal f USING (vid)
+        ),
+        sizes AS (SELECT color, COUNT(*) AS class_size FROM allc GROUP BY color)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_colors,
+               CAST(MAX(class_size) AS BIGINT) AS max_class,
+               ROUND(AVG(class_size), 6) AS avg_class,
+               ROUND(var_pop(class_size), 6) AS var_class
+        FROM sizes
+    """
+
+
+def maxmin_sql(edges_cte: str, all_vids_rel: str,
+               n_hash: int = 4, n_itrs: int = 2) -> str:
+    """(vid, color) MaxMin coloring over the full dense vertex space.
+
+    Round r (0-indexed, r < n_itrs*n_hash) uses hash index r % n_hash and
+    base color 2*r; the per-vertex per-hash value is Spark's chained
+    ``xxhash64(vid, ihash)``. All nv vertices start at the sentinel
+    2*n_hash*n_itrs, exactly like the engine.
+    """
+    max_color = 2 * n_hash * n_itrs
+    rounds = n_hash * n_itrs
+    # per-vertex hash chain: h_base = xxh64(vid, 42); h_i = xxh64(i, h_base)
+    rel = xxh64_sql("mmverts", ["vid"], "vid", "42", "hb")
+    cols = ["vid", "hb"]
+    for i in range(n_hash):
+        rel = xxh64_sql(rel, cols, str(i), "hb", f"h{i}")
+        cols = cols + [f"h{i}"]
+    # state at rnd=r carries the hash for round r's ihash (= r % n_hash);
+    # the transition producing rnd=r+1 must therefore install the hash for
+    # ihash = (r+1) % n_hash
+    h_case = "CASE ((s.rnd + 1) % " + str(n_hash) + ") " + " ".join(
+        f"WHEN {i} THEN p.h{i}" for i in range(n_hash)
+    ) + " END"
+    return f"""
+        WITH RECURSIVE {edges_cte},
+        mmnbr AS MATERIALIZED (
+            SELECT src, dst FROM edges WHERE src <> dst
+        ),
+        mmverts AS ({all_vids_rel}),
+        mmh AS MATERIALIZED (SELECT * FROM {rel}),
+        mst(rnd, vid, color, h) AS (
+            SELECT 0, vid, {max_color}, h0 FROM mmh
+            UNION ALL
+            SELECT s.rnd + 1, s.vid,
+                   CASE WHEN s.color <> {max_color} THEN s.color
+                        WHEN c.not_max IS NULL OR c.not_max = 0 THEN 2 * s.rnd
+                        WHEN c.not_min = 0 THEN 2 * s.rnd + 1
+                        ELSE {max_color} END,
+                   {h_case}
+            FROM mst s
+            JOIN mmh p ON p.vid = s.vid
+            LEFT JOIN (
+                SELECT e.src AS vid,
+                       MAX(CASE WHEN u1.h <= u2.h THEN 1 ELSE 0 END) AS not_max,
+                       MAX(CASE WHEN u1.h >= u2.h THEN 1 ELSE 0 END) AS not_min
+                FROM mmnbr e
+                JOIN mst u1 ON u1.vid = e.src AND u1.color = {max_color}
+                JOIN mst u2 ON u2.vid = e.dst AND u2.color = {max_color}
+                GROUP BY e.src
+            ) c ON c.vid = s.vid
+            WHERE s.rnd < {rounds}
+              AND EXISTS (SELECT 1 FROM mst u WHERE u.color = {max_color})
+        )
+        SELECT vid, CAST(color AS INTEGER) AS color
+        FROM mst WHERE rnd = (SELECT MAX(rnd) FROM mst)
+    """
+
+
+def balanced_sql(edges_cte: str, all_vids_rel: str, nv_expr: str,
+                 max_rounds: int = 50) -> str:
+    """first_fit vBase redistribution over the distance-1 base coloring.
+
+    Unrolled (not recursive): engine rounds are bounded by max_rounds=50
+    and a converged round is a no-op here (no movers -> no moves -> state
+    unchanged), so st_50 equals the engine's fixed point for any actual
+    round count <= 50. Every per-round CTE is MATERIALIZED — DuckDB
+    inlines CTEs by default and each state is referenced ~5x per round,
+    which would otherwise expand the plan exponentially.
+
+    Per round, from the working state: freq from current colors; movers =
+    base class oversize AND current class above avg; first-fit smallest
+    eligible color not used by any neighbour; per-color admission capacity
+    avg - freq in xxhash64-priority order; adjacent same-target movers
+    resolved to the higher priority.
+    """
+    rounds = []
+    for i in range(max_rounds):
+        rounds.append(f"""
+        freq{i} AS MATERIALIZED (
+            SELECT color AS c, COUNT(*) AS n FROM st{i} GROUP BY color
+        ),
+        elig{i} AS MATERIALIZED (
+            SELECT g.c FROM (SELECT UNNEST(range((SELECT ncolors FROM bparam))) AS c) g
+            LEFT JOIN freq{i} fr ON fr.c = g.c
+            WHERE COALESCE(fr.n, 0) < (SELECT avg_cap FROM bparam)
+              AND g.c NOT IN (SELECT c FROM boversize)
+        ),
+        mv{i} AS MATERIALIZED (
+            SELECT st.vid, st.prio FROM st{i} st
+            JOIN boversize ob ON st.base_color = ob.c
+            JOIN freq{i} oc ON st.color = oc.c
+            WHERE oc.n > (SELECT avg_cap FROM bparam)
+        ),
+        pick{i} AS MATERIALIZED (
+            SELECT f2.vid, f2.prio, MIN(f2.t) AS t FROM (
+                SELECT mv.vid, mv.prio, el.c AS t
+                FROM mv{i} mv CROSS JOIN elig{i} el
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM cnbr e JOIN st{i} nb ON nb.vid = e.dst
+                    WHERE e.src = mv.vid AND nb.color = el.c
+                )
+            ) f2 GROUP BY f2.vid, f2.prio
+        ),
+        adm{i} AS MATERIALIZED (
+            SELECT vid, prio, t FROM (
+                SELECT p.vid, p.prio, p.t,
+                       ROW_NUMBER() OVER (PARTITION BY p.t ORDER BY p.prio DESC) AS rn,
+                       (SELECT avg_cap FROM bparam)
+                       - COALESCE((SELECT n FROM freq{i} f WHERE f.c = p.t), 0) AS cap
+                FROM pick{i} p
+            ) WHERE rn <= cap
+        ),
+        mov{i} AS MATERIALIZED (
+            SELECT a.vid, a.t FROM adm{i} a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cnbr e JOIN adm{i} o ON o.vid = e.dst
+                WHERE e.src = a.vid AND o.t = a.t AND o.prio > a.prio
+            )
+        ),
+        st{i + 1} AS MATERIALIZED (
+            SELECT s.vid, CAST(COALESCE(m.t, s.color) AS INTEGER) AS color,
+                   s.prio, s.base_color
+            FROM st{i} s LEFT JOIN mov{i} m ON m.vid = s.vid
+        )""")
+    round_ctes = ",".join(rounds)
+    return f"""
+        WITH RECURSIVE {edges_cte},
+        {distance1_cte('edges')},
+        ball AS MATERIALIZED (
+            SELECT v.vid, CAST(COALESCE(f.color, 0) AS INTEGER) AS base_color
+            FROM {all_vids_rel} v
+            LEFT JOIN cfinal f USING (vid)
+        ),
+        bparam AS MATERIALIZED (
+            -- ceil(nv/ncolors); DuckDB // truncates toward zero, so the
+            -- python -(-a//b) idiom would floor here — use (a+b-1)//b
+            SELECT MAX(base_color) + 1 AS ncolors,
+                   ({nv_expr} + MAX(base_color)) // (MAX(base_color) + 1) AS avg_cap
+            FROM ball
+        ),
+        boversize AS MATERIALIZED (
+            SELECT base_color AS c FROM ball
+            GROUP BY base_color
+            HAVING COUNT(*) > (SELECT avg_cap FROM bparam)
+        ),
+        st0 AS MATERIALIZED (
+            SELECT b.vid, b.base_color AS color, x.prio, b.base_color
+            FROM ball b
+            JOIN (SELECT vid, prio FROM {xxh64_sql('ball', ['vid'], 'vid', '42', 'prio')}) x
+              USING (vid)
+        ),
+        {round_ctes}
+        SELECT vid, color FROM st{max_rounds}
+    """

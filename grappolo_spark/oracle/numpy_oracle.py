@@ -562,16 +562,17 @@ def base_phase_np(edges, nv, const_factor=1.0, thresh=1e-6, lower=-1.0,
         curr_mod = e_xx * const - a2_x * const * const
         trajectory.append(curr_mod)
 
-        if resistance_phase is not None:
+        if resistance_phase is not None and resistance_phase > 1:
+            # guarded by ``if (phase > 1)`` in the reference
+            # (parallelLouvainMethodFastTrackResistance.cpp:193): phase 1
+            # keeps the -1.0 sentinel and exits on the plain threshold
             w_2 = 1.0 / const if const > 0 else 0.0
             n_c = sum(s * s for s in c_size.values())
             nd = float(nv) - (n_c / float(nv)) if nv > 0 else 0.0
             r_min = (-(w_2) / nd) * curr_mod if nd != 0 else 0.0
             denom = w_2 - float(nv) * r_min
             q_afg = ((w_2 * curr_mod) + (r_min * nd)) / denom if denom != 0 else 0.0
-            stop = (q_afg == 0) if resistance_phase > 1 else (
-                (curr_mod - prev_mod) < thresh
-            )
+            stop = q_afg == 0
         else:
             stop = (curr_mod - prev_mod) < thresh
         if stop or num_iters >= max_inner:

@@ -14,6 +14,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """~40% of physical RAM, clamped to [2g, 48g]."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        gb = max(2, min(48, int(total * 0.4) >> 30))
+    except (ValueError, OSError):
+        gb = 8
+    return f"{gb}g"
+
+
 def get_spark(
     app_name: str = "grappolo-spark",
     master: str | None = None,
@@ -32,13 +42,20 @@ def get_spark(
         # one shuffle partition per core locally; clusters override via conf
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
-    # Shuffle/spill files: prefer the ramdisk in this sandbox (the box has
-    # 128 GiB; per-superstep shuffle data is ~1-2 GB) — measured +25%
-    # 32-thread throughput over the disk-backed default. On a real cluster
-    # the deployment provisions NVMe local dirs; override via env/conf.
+    # Shuffle/spill files: use the ramdisk only when it is actually big
+    # enough (measured +25% 32-thread throughput over the disk-backed
+    # default on this box). Many deployments mount a tiny /dev/shm (Docker
+    # defaults to 64 MB) where shuffle writes would ENOSPC mid-job, so the
+    # ramdisk is opt-in by free space: >= 16 GiB free, or an explicit
+    # SPARK_GRAFT_LOCAL_DIR. Real clusters provision NVMe local dirs.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 16 << 30:
+                local_dir = "/dev/shm/spark-local"
+        except OSError:
+            pass
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
 
@@ -52,9 +69,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # local mode: the driver JVM hosts all executor threads and every
-        # localCheckpoint block; 48g of the box's 128 GiB matches the
-        # per-executor memory a real cluster deployment would provision
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # localCheckpoint block; size it from detected RAM (~40%, capped at
+        # 48g — what a real per-executor provision would be) instead of a
+        # fixed number that OOM-kills smaller hosts
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

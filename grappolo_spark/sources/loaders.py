@@ -156,3 +156,74 @@ def read_matrix_market(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
     # symmetric MM stores each entry once; general may hold both — _finish
     # canonicalizes either into the engine contract
     return _finish(df).localCheckpoint(eager=True), nv
+
+
+def read_pajek(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
+    """Pajek format (ref S8 ``loadPajekFormat.cpp:3-175``): ``*Vertices N``
+    header, vertex-label lines skipped until ``*Edges``, then 1-based
+    ``i j [w]`` lines. Reference semantics preserved: self-loops dropped
+    (``:84-85``), weight forced to 1.0 regardless of the file value
+    (``:87``), duplicates removed (``:99``). Driver-side parse
+    (interchange format — the scale-native path is Parquet)."""
+    rows = []
+    with open(path) as f:
+        header = f.readline().split()
+        if not header or header[0].lower() != "*vertices":
+            raise ValueError(f"read_pajek: expected '*Vertices N' header in {path}")
+        nv = int(header[1])
+        in_edges = False
+        for line in f:
+            tok = line.split()
+            if not tok:
+                continue
+            if tok[0].lower() in ("*edges", "*arcs"):
+                in_edges = True
+                continue
+            if not in_edges:
+                continue  # vertex-label line
+            u, v = int(tok[0]) - 1, int(tok[1]) - 1
+            if u == v:
+                continue
+            rows.append((u, v, 1.0))
+    df = spark.createDataFrame(rows or [(0, 0, 0.0)], "src long, dst long, weight double")
+    if not rows:
+        df = df.limit(0)
+    return _finish(df).localCheckpoint(eager=True), nv
+
+
+def read_dimacs9(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
+    """DIMACS challenge-9 format (ref S9 ``loadDimacs.cpp:3-134``):
+    ``c`` comment lines, one ``p sp NV NE`` problem line, then NE arc
+    lines ``a U V W`` (1-based). Weights made positive via abs (``:56``);
+    the directed arcs are stored undirected (``:5-6``). Distributed parse:
+    the arc section is order-independent, so ``spark.read.text`` scans it
+    in parallel; only the one-line problem header is read on the driver.
+
+    The reference skips duplicate removal for this format (``:63-69``
+    commented out) and keeps parallel arcs as separate CSR entries; the
+    DataFrame-native equivalent is summing duplicate (src,dst) weights
+    (every engine operator consumes neighbor weights additively), which
+    ``symmetrize`` performs.
+    """
+    nv = None
+    with open(path) as f:
+        for line in f:
+            if line.startswith("p"):
+                _p, _sp, nv_s, _ne = line.split()[:4]
+                nv = int(nv_s)
+                break
+            if not line.startswith("c"):
+                break
+    if nv is None:
+        raise ValueError(f"read_dimacs9: no 'p sp NV NE' problem line in {path}")
+    arcs = (
+        spark.read.text(path)
+        .filter(F.col("value").startswith("a"))
+        .select(F.split(F.trim(F.col("value")), r"\s+").alias("p"))
+        .select(
+            (F.col("p").getItem(1).cast("long") - 1).alias("src"),
+            (F.col("p").getItem(2).cast("long") - 1).alias("dst"),
+            F.abs(F.col("p").getItem(3).cast("double")).alias("weight"),
+        )
+    )
+    return symmetrize(arcs).localCheckpoint(eager=True), nv

@@ -22,8 +22,26 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# These interchange writers collect to the driver by design (tool interop
+# only). Guard against accidental use on a production-scale graph: raise
+# before collecting when the table exceeds this many rows (override via
+# the GRAPPOLO_WRITER_MAX_ROWS env var).
+MAX_DRIVER_ROWS = int(os.environ.get("GRAPPOLO_WRITER_MAX_ROWS", 10_000_000))
+
+
+def _guard_rows(df: DataFrame, what: str) -> None:
+    n = df.count()
+    if n > MAX_DRIVER_ROWS:
+        raise ValueError(
+            f"{what}: {n} rows exceeds the driver-side writer ceiling "
+            f"({MAX_DRIVER_ROWS}); these text sinks are for tool interop "
+            "only — use df.write.parquet for production graphs, or raise "
+            "GRAPPOLO_WRITER_MAX_ROWS explicitly"
+        )
+
 
 def _collect_adj(edges: DataFrame, nv: int):
+    _guard_rows(edges, "write adjacency")
     adj = [[] for _ in range(nv)]
     for r in edges.collect():
         adj[int(r["src"])].append((int(r["dst"]), float(r["weight"])))
@@ -52,6 +70,7 @@ def write_pajek(
     comm = {}
     if communities is not None:
         comm = {r["vid"]: r["comm"] for r in communities.collect()}
+    _guard_rows(edges, "write_pajek")
     canon = edges.filter(F.col("src") <= F.col("dst")).collect()
     with open(path, "w") as f:
         f.write(f"*Vertices {nv}\n")
@@ -76,6 +95,7 @@ def write_matrix_market(
             e.join(p1, "src").join(p2, "dst")
             .select(F.col("ns").alias("src"), F.col("nd").alias("dst"), "weight")
         )
+    _guard_rows(e, "write_matrix_market")
     canon = sorted(
         (int(r["src"]), int(r["dst"]), float(r["weight"]))
         for r in e.filter(F.col("src") <= F.col("dst")).collect()
@@ -91,6 +111,7 @@ def write_matrix_market(
 def write_edge_list(edges: DataFrame, path: str) -> None:
     """Each undirected edge once (canonical src <= dst), so re-reading via
     ``read_edge_list`` + symmetrize reconstructs the exact same table."""
+    _guard_rows(edges, "write_edge_list")
     rows = sorted(
         (int(r["src"]), int(r["dst"]), float(r["weight"]))
         for r in edges.filter(F.col("src") <= F.col("dst")).collect()

@@ -11,8 +11,10 @@ from grappolo_spark.graph import build_old2new_map, validate_symmetric
 from grappolo_spark.sources import (
     append_results_csv,
     read_edge_list,
+    read_dimacs9,
     read_matrix_market,
     read_metis,
+    read_pajek,
     read_snap,
     write_edge_list,
     write_matrix_market,
@@ -116,3 +118,62 @@ def test_pajek_and_results_csv(spark, tmp_path):
     lines = csv.read_text().strip().splitlines()
     assert lines[0].startswith("GraphName,Version,Threads")
     assert len(lines) == 3
+
+
+def test_writer_guard_raises_before_collect(spark, tmp_path, monkeypatch):
+    """Driver-side interchange writers must refuse oversized tables instead
+    of OOMing the driver."""
+    from grappolo_spark.sources import writers as W
+
+    edges, nv = fx.path_n(10)
+    df = fx.to_spark_edges(spark, edges)
+    monkeypatch.setattr(W, "MAX_DRIVER_ROWS", 5)
+    with pytest.raises(ValueError, match="ceiling"):
+        W.write_edge_list(df, str(tmp_path / "too_big.txt"))
+    with pytest.raises(ValueError, match="ceiling"):
+        W.write_metis(df, nv, str(tmp_path / "too_big.graph"))
+    # raising the ceiling lets the same write proceed
+    monkeypatch.setattr(W, "MAX_DRIVER_ROWS", 10_000)
+    W.write_edge_list(df, str(tmp_path / "ok.txt"))
+    assert (tmp_path / "ok.txt").read_text().strip()
+
+
+def test_pajek_roundtrip(spark, tmp_path):
+    edges, nv = fx.weighted_two_triangles()
+    df = fx.to_spark_edges(spark, edges)
+    path = str(tmp_path / "g.net")
+    write_pajek(df, nv, path)
+    back, nv2 = read_pajek(spark, path)
+    assert nv2 == nv
+    # reference Pajek semantics force weight 1.0 on every edge (:87)
+    expect = sorted((s, d, 1.0) for s, d, _w in _rows(df) if s != d)
+    assert _rows(back) == expect
+
+
+def test_pajek_skips_vertex_lines_self_loops(spark, tmp_path):
+    path = str(tmp_path / "labels.net")
+    with open(path, "w") as f:
+        f.write("*Vertices 3\n")
+        f.write('1 "alpha"\n2 "beta"\n3 "gamma"\n')
+        f.write("*Edges\n1 2 5.0\n2 2 9.0\n2 3\n")
+    back, nv = read_pajek(spark, path)
+    assert nv == 3
+    # self-loop 2-2 dropped, weights forced to 1.0, symmetrized
+    assert _rows(back) == [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0), (2, 1, 1.0)]
+
+
+def test_dimacs9_parse(spark, tmp_path):
+    path = str(tmp_path / "g.gr")
+    with open(path, "w") as f:
+        f.write("c comment line\nc another\n")
+        f.write("p sp 4 4\n")
+        f.write("a 1 2 3\na 2 3 -2\na 3 4 1\na 1 2 1\n")
+    back, nv = read_dimacs9(spark, path)
+    assert nv == 4
+    # weights abs'd; the duplicate 1->2 arc sums (CSR multigraph kept as
+    # additive weight); stored undirected
+    assert _rows(back) == [
+        (0, 1, 4.0), (1, 0, 4.0), (1, 2, 2.0), (2, 1, 2.0),
+        (2, 3, 1.0), (3, 2, 1.0),
+    ]
+    validate_symmetric(back)

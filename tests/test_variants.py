@@ -78,7 +78,7 @@ def test_directed_louvain_symmetric_consistency(spark):
 
 
 @pytest.mark.parametrize("name", ["karate", "two_cliques_bridge",
-                                  "weighted_two_triangles"])
+                                  "weighted_two_triangles", "disconnected"])
 def test_fasttrack_resistance_matches_oracle(spark, name):
     edges, nv = fx.ALL_FIXTURES[name]()
     rows = fx.symmetric_rows(edges)
@@ -103,6 +103,17 @@ def test_maxmin_coloring_matches_oracle(spark, name):
     exp_colors, exp_n, exp_rounds = maxmin_coloring_np(rows, nv)
     colors, n_colored, rounds = maxmin_coloring(spark, df, nv)
     assert _collect(colors, "color", nv) == exp_colors, name
+    assert n_colored == exp_n
+    assert rounds == exp_rounds
+
+
+def test_maxmin_coloring_edgeless_graph(spark):
+    """No edges at all: every vertex is a vacuous local max in round 1 —
+    engine must report the same colors AND round count as the oracle."""
+    df = spark.createDataFrame([], "src long, dst long, weight double")
+    exp_colors, exp_n, exp_rounds = maxmin_coloring_np([], 5)
+    colors, n_colored, rounds = maxmin_coloring(spark, df, 5)
+    assert _collect(colors, "color", 5) == exp_colors
     assert n_colored == exp_n
     assert rounds == exp_rounds
 
