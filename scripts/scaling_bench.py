@@ -3,30 +3,29 @@
 
 The reference's strong-scaling harness re-runs the identical graph at
 2,4,8,... threads (``driverForGraphClustering.cpp:142-176``). The sandbox
-has one machine, so the two "cluster sizes" are two local parallelism
-levels on the SAME deterministic input.
+has one machine, so per the round protocol the two "cluster sizes" are
+two local parallelism levels — **N = local[8] and 4N = local[32]** — on
+the SAME parquet-cached input (built once; every leg reads identical
+bytes).
 
-Protocol (three parts, all in one invocation):
+Protocol:
 
-1. **Machine calibration** — a pure-CPU multiprocessing probe at 1/N/4N
-   workers measures what the box itself can scale (SMT + host co-tenancy
-   put a hard ceiling on any single-box strong-scaling number; the Spark
-   job cannot beat the hardware).
-2. **Headline N→4N pair** — the engine superstep workload at ``local[N]``
-   vs ``local[4N]`` with N chosen INSIDE the machine's linear region
-   (default N=2: the probe and the leg matrix show this box saturates its
-   memory bandwidth at ~8 active threads, so 8→32 measures the DRAM
-   controller, not the engine).
-3. **Saturation curve** — supplementary legs above 4N document where and
-   why the single-box curve flattens.
+1. **Machine calibration** — a pure-CPU multiprocessing probe at
+   1/8/32 workers bounds what the box itself can scale (SMT + host
+   co-tenancy cap any single-box number; Spark cannot beat the
+   hardware).
+2. **Headline 8→32 pair** — the bench.py headline workload (5 PageRank
+   supersteps + 5 Arrow-path Louvain sweeps on the dense context graph)
+   at local[8] vs local[32]. Each leg runs REPEATS times, interleaved;
+   the table reports every repeat and the MEDIAN is the headline
+   (best-of was judged to bias upward — ADVICE r01).
+3. **Saturation curve** — a local[16] leg documents where the single-box
+   curve bends.
 
-Each leg runs in a fresh subprocess (one JVM cannot host two masters) and
-executes a fixed superstep workload over the transcript-derived edge
-table: PAGERANK_ITERS PageRank supersteps + one Louvain phase capped at
-LOUVAIN_INNER local-move sweeps. Throughput = edge_rows x supersteps /
-seconds.
+Each leg runs in a fresh subprocess (one JVM cannot host two masters).
+Throughput = edge_rows x supersteps / seconds.
 
-    python scripts/scaling_bench.py [n_convs] [N]   # defaults 1200000, 2
+    python scripts/scaling_bench.py [n_convs] [repeats]   # default 50000, 2
 
 Writes BENCH.md at the repo root.
 """
@@ -37,50 +36,25 @@ import json
 import multiprocessing
 import os
 import pathlib
+import statistics
 import subprocess
 import sys
 import time
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
-PAGERANK_ITERS = 5
-LOUVAIN_INNER = 5
-
-WORKER = r"""
-import json, os, sys, time
+LEG = r"""
+import json, os, sys
 sys.path.insert(0, %(repo)r)
 from grappolo_spark.session import get_spark
-from grappolo_spark.synth import synth_transcripts
-from grappolo_spark.etl import build_edges
-from grappolo_spark.operators.pagerank import pagerank
-from grappolo_spark.operators.louvain import louvain_phase
+import bench
 
-n_convs = %(n_convs)d
-spark = get_spark("scaling-bench",
+spark = get_spark("scaling-leg",
                   extra_conf={"spark.ui.showConsoleProgress": "false"})
 spark.sparkContext.setLogLevel("ERROR")
-
-tr = synth_transcripts(spark, n_convs=n_convs, max_turns=20)
-edges, turns, tools = build_edges(tr)
-edges = edges.localCheckpoint(eager=True)
-n_rows = edges.count()
-nv = turns.count() + tools.count()
-
-# warm the JVM/codegen outside the timed section
-pagerank(spark, edges, nv, tol=0.0, max_iter=1)
-
-t0 = time.time()
-pagerank(spark, edges, nv, tol=0.0, max_iter=%(pr_iters)d)
-res = louvain_phase(spark, edges, nv, max_inner=%(lv_inner)d)
-res.c.count()
-elapsed = time.time() - t0
-supersteps = %(pr_iters)d + res.num_iters
-print(json.dumps({
-    "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
-    "edge_rows": n_rows, "nv": nv,
-    "supersteps": supersteps, "seconds": round(elapsed, 2),
-    "edges_per_sec": round(n_rows * supersteps / elapsed, 1),
-}))
+edges, n, nv = bench.build_bench_corpus(spark, %(n_convs)d)
+head = bench.run_headline(spark, edges, n, nv)
+print(json.dumps(head))
 spark.stop()
 """
 
@@ -108,10 +82,7 @@ def cpu_probe(worker_counts) -> dict[int, int]:
 
 def run_at(cpus: int, n_convs: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-    code = WORKER % {
-        "repo": str(REPO), "n_convs": n_convs,
-        "pr_iters": PAGERANK_ITERS, "lv_inner": LOUVAIN_INNER,
-    }
+    code = LEG % {"repo": str(REPO), "n_convs": n_convs}
     t0 = time.time()
     out = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True,
@@ -126,94 +97,97 @@ def run_at(cpus: int, n_convs: int) -> dict:
 
 
 def main():
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 1200000
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    n4 = 4 * n
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_small, n_mid, n_big = 8, 16, 32
 
-    probe = cpu_probe([1, n, n4])
-    probe_eff = (probe[n4] / probe[n]) / 4.0
+    # build the parquet corpus once (at full parallelism) so every leg
+    # reads identical bytes and no leg pays the build
+    print("materializing corpus ...", flush=True)
+    run_at(n_big, n_convs)
 
-    # best-of-2 per leg, legs interleaved: the sandbox host is co-tenant
-    # (identical code has measured 2x apart hours later), so single
-    # measurements carry that noise — best-of-interleaved-repeats bounds it
-    results = {}
-    for rep in range(2):
-        for cpus in (n, n4, 32):
+    probe = cpu_probe([1, n_small, n_big])
+    probe_eff = (probe[n_big] / probe[n_small]) / 4.0
+
+    runs: dict[int, list[dict]] = {n_small: [], n_mid: [], n_big: []}
+    for rep in range(repeats):
+        for cpus in (n_small, n_mid, n_big):
             print(f"running local[{cpus}] (rep {rep + 1}) ...", flush=True)
             r = run_at(cpus, n_convs)
             print(f"  {r}", flush=True)
-            if cpus not in results or r["edges_per_sec"] > results[cpus]["edges_per_sec"]:
-                results[cpus] = r
+            runs[cpus].append(r)
 
-    thr_n, thr_4n = results[n]["edges_per_sec"], results[n4]["edges_per_sec"]
-    thr_32 = results[32]["edges_per_sec"]
-    eff = (thr_4n / thr_n) / 4.0
+    med = {c: statistics.median(r["edges_per_sec"] for r in rs)
+           for c, rs in runs.items()}
+    eff = (med[n_big] / med[n_small]) / 4.0
+    r0 = runs[n_big][0]
+
+    def reps_str(cpus):
+        return ", ".join(f"{r['edges_per_sec']:,.0f}" for r in runs[cpus])
 
     md = f"""# BENCH — N vs 4N scaling evidence
 
 North rule: throughput scaling efficiency >= 0.8 between N and 4N
 executors. No real cluster exists in this sandbox, so per the round
-instructions the same job runs at two parallelism levels on the SAME
-deterministic input, mirroring the reference's own strong-scaling
-protocol (``driverForGraphClustering.cpp:142-176``: identical graph
-re-run at doubling thread counts).
+protocol the same job runs at two parallelism levels — **N = local[8]
+and 4N = local[32]** — on the SAME parquet-cached input, mirroring the
+reference's own strong-scaling protocol
+(``driverForGraphClustering.cpp:142-176``).
 
 ## Machine calibration (pure-CPU probe, no Spark)
 
 | workers | work units | scaling vs 1 |
 | --- | --- | --- |
 | 1 | {probe[1]} | 1.00x |
-| {n} | {probe[n]} | {probe[n] / probe[1]:.2f}x |
-| {n4} | {probe[n4]} | {probe[n4] / probe[1]:.2f}x |
+| {n_small} | {probe[n_small]} | {probe[n_small] / probe[1]:.2f}x |
+| {n_big} | {probe[n_big]} | {probe[n_big] / probe[1]:.2f}x |
 
-The box exposes 32 logical CPUs but pure-CPU work scales at only
-{probe_eff:.2f} efficiency from {n} to {n4} workers — SMT sharing and
-host co-tenancy cap what ANY single-box measurement can show. N = {n}
-is chosen inside the machine's linear region; the saturation curve
-below shows the engine tracks the hardware ceiling, not an engine
-bottleneck.
+Pure-CPU work scales at {probe_eff:.2f} efficiency from {n_small} to
+{n_big} workers on this box (SMT sharing + host co-tenancy) — the
+hardware ceiling for ANY single-box strong-scaling measurement,
+including this one.
 
 ## Workload
 
-Transcript corpus: ``synth_transcripts(n_convs={n_convs}, max_turns=20)``
-→ ``build_edges`` → {results[n4]["edge_rows"]:,} symmetric edge rows,
-{results[n4]["nv"]:,} vertices. Timed section: {PAGERANK_ITERS} PageRank
-supersteps + one Louvain phase capped at {LOUVAIN_INNER} local-move
-sweeps (JVM warmed by an untimed iteration first). Shuffle/spill dirs on
-the ramdisk (``session.py``; +25% at 32 threads over disk-backed).
-Throughput = edge_rows x supersteps / seconds; each leg is the best of
-two interleaved repeats (the co-tenant sandbox host drifts ~2x between
-sessions, so single measurements carry that noise).
+``bench.py`` headline: deterministic transcript corpus (seed=42,
+n_convs={n_convs}, max_turns={50}) → conversational-context link graph
+(window={16}) = {r0["edge_rows"]:,} symmetric edge rows,
+{r0["nv"]:,} vertices (avg degree {r0["edge_rows"] / r0["nv"]:.1f}).
+Timed: {r0["pagerank_iters"]} PageRank supersteps + {r0["louvain_sweeps"]}
+Arrow-path Louvain sweeps, JVM warmed untimed. The edge table is read
+from the SAME parquet files in every leg. Throughput = edge_rows x
+supersteps / seconds; every repeat is reported and the MEDIAN is the
+headline (no best-of selection).
 
-## Results — headline N→4N pair
+## Results — headline 8→32 pair
 
-| cluster size | supersteps | seconds | edges/sec |
-| --- | --- | --- | --- |
-| N = local[{n}] | {results[n]["supersteps"]} | {results[n]["seconds"]} | {thr_n:,.0f} |
-| 4N = local[{n4}] | {results[n4]["supersteps"]} | {results[n4]["seconds"]} | {thr_4n:,.0f} |
+| cluster size | repeats (edges/sec) | median edges/sec |
+| --- | --- | --- |
+| N = local[{n_small}] | {reps_str(n_small)} | {med[n_small]:,.0f} |
+| local[{n_mid}] | {reps_str(n_mid)} | {med[n_mid]:,.0f} |
+| 4N = local[{n_big}] | {reps_str(n_big)} | {med[n_big]:,.0f} |
 
-**Speedup {n}→{n4}: {thr_4n / thr_n:.2f}x — scaling efficiency {eff:.2f}**
-(eff = (thr_4N / thr_N) / 4).
+**Speedup {n_small}→{n_big}: {med[n_big] / med[n_small]:.2f}x — scaling
+efficiency {eff:.2f}** (eff = (thr_4N / thr_N) / 4), against a
+pure-CPU hardware ceiling of {probe_eff:.2f} on the same pair.
 
-## Saturation curve (supplementary)
+Efficiency relative to the machine ceiling:
+{eff / probe_eff:.2f} — the engine's share of the loss beyond what the
+box itself loses from 8→32 threads.
 
-| threads | edges/sec |
-| --- | --- |
-| {n} | {thr_n:,.0f} |
-| {n4} | {thr_4n:,.0f} |
-| 32 | {thr_32:,.0f} |
+## Why a single box under-reports 4N-cluster scaling
 
-Beyond ~8 active threads the single-box curve is flat: the superstep
-workload (hash-join + hash-agg over tens of millions of rows) saturates
-one socket's DRAM bandwidth, exactly where the pure-CPU probe still
-scales. On a real 4N-executor cluster every added node brings its own
-memory controllers and bisection bandwidth — the regime the >=0.8
-target describes — so per-node throughput holds while the single-box
-curve cannot. The per-superstep shuffles are hash-partitioned on the
-vertex/community key and AQE-coalesced, with no driver-side collects in
-the hot path (scripts/plan_audit.py verifies the physical plans).
+The superstep workload is hash-join + hash-agg over tens of millions of
+rows: past one socket's worth of active threads it is DRAM-bandwidth
+and SMT bound (see probe). On a real 4N-executor cluster every added
+node brings its own memory controllers and bisection bandwidth — the
+regime the >=0.8 target describes — while a 32-thread single box shares
+one memory system among all "executors". The per-superstep shuffles are
+hash-partitioned on the vertex/community key; the static edge side is
+pre-partitioned once and never reshuffled; no driver-side collects in
+the hot path (scripts/plan_audit.py verifies the plans).
 
-Reproduce: ``python scripts/scaling_bench.py {n_convs} {n}``.
+Reproduce: ``python scripts/scaling_bench.py {n_convs} {repeats}``.
 """
     (REPO / "BENCH.md").write_text(md)
     print(md)

@@ -151,3 +151,46 @@ def test_louvain_checkpoint_resume(spark, tmp_path):
     got = {r["vid"]: r["comm"] for r in resumed.c.collect()}
     assert got == want
     assert resumed.modularity == base.modularity
+
+
+def test_context_edges_window1_equals_reply_graph(spark):
+    """On dense per-conversation turn indices (the documented table shape)
+    the W=1 context graph IS the reply graph."""
+    from grappolo_spark.etl import build_context_edges
+
+    tr = synth_transcripts(spark, n_convs=40, max_turns=12)
+    reply, _t1, _t2 = build_edges(tr)
+    ctx, _t3, _t4 = build_context_edges(tr, window=1)
+    a = sorted((r["src"], r["dst"], r["weight"]) for r in reply.collect())
+    b = sorted((r["src"], r["dst"], r["weight"]) for r in ctx.collect())
+    assert a == b
+
+
+def test_context_edges_window_semantics(spark):
+    """Every (turn, turn-k) pair for k<=W and nothing else; symmetric."""
+    from grappolo_spark.etl import build_context_edges, turn_vertices
+
+    tr = synth_transcripts(spark, n_convs=25, max_turns=15)
+    W = 4
+    ctx, turns, tools = build_context_edges(tr, window=W)
+    validate_symmetric(ctx)
+    tmap = {(r["conv_id"], r["turn_idx"]): r["vid"] for r in turns.collect()}
+    n_tools = tools.count()
+    expected = set()
+    by_conv = {}
+    for (cid, idx) in tmap:
+        by_conv.setdefault(cid, set()).add(idx)
+    for cid, idxs in by_conv.items():
+        for i in idxs:
+            for k in range(1, W + 1):
+                if i - k in idxs:
+                    expected.add((tmap[(cid, i)], tmap[(cid, i - k)]))
+    got = {
+        (r["src"], r["dst"])
+        for r in ctx.collect()
+        # tool vertices are numbered after the turns
+        if r["src"] < len(tmap) and r["dst"] < len(tmap)
+    }
+    sym_expected = expected | {(b, a) for a, b in expected}
+    assert got == sym_expected
+    assert n_tools > 0  # tool edges present too (include_tools default)
