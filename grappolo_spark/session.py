@@ -39,8 +39,12 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # one shuffle partition per core locally; clusters override via conf
-        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+        # 2x cores (standard guidance): with exactly one task per core a
+        # stage ends when its slowest task ends, so any per-core speed
+        # variance (co-tenancy, skew) idles the whole pool for the tail;
+        # two waves let fast cores steal the remainder. AQE coalesces the
+        # extra partitions away on small stages. Clusters override via conf.
+        shuffle_partitions = 2 * int(cpus) if cpus.isdigit() else 64
 
     # Shuffle/spill files: use the ramdisk only when it is actually big
     # enough (measured +25% 32-thread throughput over the disk-backed

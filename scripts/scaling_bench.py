@@ -131,7 +131,7 @@ def run_at(cpus: int, n_convs: int) -> dict:
 
 def main():
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
-    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     n_small, n_mid, n_big = 8, 16, 32
 
     # build the parquet corpus once (at full parallelism) so every leg
@@ -192,14 +192,18 @@ worker — far beyond LLC, every pass hits DRAM):
 | {n_small} | {bw[n_small]} | {bw[n_small] / bw[1]:.2f}x |
 | {n_big} | {bw[n_big]} | {bw[n_big] / bw[1]:.2f}x |
 
-**Memory bandwidth scales at only {bw_eff:.2f} efficiency from
-{n_small} to {n_big} workers** — the box's DRAM controllers saturate
-near {n_small} active streams. The superstep workload (hash join +
-hash agg, i.e. streaming row batches through memory) lives under THIS
-ceiling, not the pure-CPU one: a single box physically cannot show
->= {bw_eff:.2f} efficiency on memory-bound work from {n_small}→{n_big}
-threads, whereas on a real N→4N *cluster* every added executor brings
-its own memory controllers.
+**Memory bandwidth scales at {bw_eff:.2f} efficiency from
+{n_small} to {n_big} workers.** The superstep workload (hash join +
+hash agg, i.e. streaming row batches through memory) lives under
+min(CPU, DRAM) ceiling — whichever probe is lower bounds ANY Spark
+number on this box, whereas on a real N→4N *cluster* every added
+executor brings its own cores and memory controllers.
+
+Both probes also show large run-to-run variance: the box is a shared
+(co-tenant) VM whose available per-core capacity swings tens of
+percent minute-to-minute. That is why every leg below is repeated and
+interleaved (N, mid, 4N, N, mid, 4N, ...) and the MEDIAN is the
+headline — a single pair of runs on this host is meaningless.
 
 ## Workload
 
