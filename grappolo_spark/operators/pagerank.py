@@ -31,6 +31,29 @@ from pyspark.sql import functions as F
 from ..lineage import cut_lineage, pin_partitioned, release
 
 
+def pagerank_prepare(edges: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+    """One-time static-side preparation: (trans, vertices, n_live).
+
+    ``trans`` is the rank-distribution table (src, dst, factor=w/wdeg(src))
+    hash-pre-partitioned on the per-iteration join key; ``vertices`` the
+    pinned live-vertex table. At 10^12-edge scale this is the expensive
+    step (one full shuffle + sort of the edge table) and it is RANK-
+    INDEPENDENT — prepare once, then run any number of pagerank() calls /
+    supersteps against it (the reference amortizes the analogous CSR build
+    over its whole run, ``driverForGraphClustering.cpp:76-98``).
+    """
+    deg = edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
+    trans = (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("factor"))
+        .transform(lambda d: pin_partitioned(d, "src"))
+    )
+    vertices = deg.select(F.col("src").alias("vid")).transform(
+        lambda d: pin_partitioned(d, "vid")
+    )
+    return trans, vertices, vertices.count()
+
+
 def pagerank(
     spark: SparkSession,
     edges: DataFrame,
@@ -40,31 +63,25 @@ def pagerank(
     max_iter: int = 100,
     checkpoint_every: int = 5,
     checkpoint=None,
+    prepared: tuple[DataFrame, DataFrame, int] | None = None,
 ) -> tuple[DataFrame, int]:
     """Returns ((vid, rank) DataFrame over all nv vertices, iterations run).
 
     ``nv`` is the dense vertex-space size (isolated vertices included —
     they are dangling and receive only redistribution mass).
     ``checkpoint`` is an optional CheckpointManager for resumable runs.
+    ``prepared`` is an optional ``pagerank_prepare(edges)`` result — pass
+    it when running repeated/iterative workloads so the rank-independent
+    static sides (one full edge shuffle) are built once, not per call.
     """
-    deg = edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
-    # transition factor is rank-independent: precompute once, hash-pre-
+    # the transition factor is rank-independent: precomputed, hash-pre-
     # partitioned on the per-iteration join key so EVERY superstep reuses
     # this partitioning and only the rank state shuffles (at 10^12-edge
     # scale, not re-shuffling the static edge side each iteration is the
-    # dominant saving)
-    trans = (
-        edges.join(deg, "src")
-        .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("factor"))
-        .transform(lambda d: pin_partitioned(d, "src"))
-    )
-    # hash-pre-partitioned on vid: in fixed-iteration mode the new state
-    # is (static vertices) ⋈ (contrib already partitioned by vid from its
-    # groupBy) — zero state-side shuffle per superstep
-    vertices = deg.select(F.col("src").alias("vid")).transform(
-        lambda d: pin_partitioned(d, "vid")
-    )
-    n_live = vertices.count()
+    # dominant saving); vertices pinned on vid so in fixed-iteration mode
+    # the new state is (static vertices) ⋈ (contrib already partitioned by
+    # vid from its groupBy) — zero state-side shuffle per superstep
+    trans, vertices, n_live = prepared or pagerank_prepare(edges)
     n_dangling = nv - n_live
 
     start_iter = 0
