@@ -496,6 +496,33 @@ def _q_louvain_arrow(spark, sf):
     return res.c
 
 
+LOUVAIN_SWEEPS = 3  # fixed sweep budget so the DuckDB twin unrolls the
+                    # exact same chain (oracle/louvain_sql.py)
+
+
+def _louvain_sweeps(spark, sf, method):
+    """Exactly LOUVAIN_SWEEPS bounded phase-1 sweeps (greedy init + gain
+    argmax + swap protection, ``parallelLouvianMethod_SFP`` semantics),
+    restricted to edge vertices — the core Louvain sweep kernel under the
+    hard DuckDB gate via the unrolled SQL twin (validated bit-exact vs the
+    reference-parity numpy oracle on 10 fixtures x 4 sweep budgets)."""
+    from grappolo_spark.operators.louvain import louvain_phase
+
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    res = louvain_phase(spark, e, nv, max_inner=LOUVAIN_SWEEPS, method=method)
+    verts = e.select(F.col("src").alias("vid")).distinct()
+    return res.c.join(verts, "vid").select("vid", "comm")
+
+
+def _q_louvain_sweeps(spark, sf):
+    return _louvain_sweeps(spark, sf, "dataframe")
+
+
+def _q_louvain_sweeps_arrow(spark, sf):
+    return _louvain_sweeps(spark, sf, "arrow")
+
+
 PAGERANK_ITERS = 25  # fixed count so the DuckDB recursive-CTE twin runs the
                      # exact same number of supersteps (no data-dependent exit)
 
@@ -655,6 +682,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "louvain_communities": _q_louvain,
         "louvain_arrow": _q_louvain_arrow,
+        # bounded sweep chain — DuckDB-green gate on the sweep kernel in
+        # BOTH execution paths (shared unrolled SQL twin)
+        "louvain_sweeps": _q_louvain_sweeps,
+        "louvain_sweeps_arrow": _q_louvain_sweeps_arrow,
         "louvain_colored": _q_louvain_colored,
         "graph_coloring": _q_coloring,
         "coloring_maxmin": _q_coloring_maxmin,
@@ -983,6 +1014,16 @@ def oracle_sql() -> dict[str, str]:
                          THEN b.best ELSE v.vid END AS BIGINT) AS comm
         FROM vdeg v LEFT JOIN best b ON b.src = v.vid
     """
+
+    from grappolo_spark.oracle.louvain_sql import louvain_sweeps_sql
+
+    _lv_ctes, _lv_final = louvain_sweeps_sql(LOUVAIN_SWEEPS)
+    sql["louvain_sweeps"] = f"""
+        WITH {_EDGES},{_lv_ctes}
+        SELECT vid, comm FROM {_lv_final}
+    """
+    # the Arrow path is the same math (pytest-gated bit-identical); one twin
+    sql["louvain_sweeps_arrow"] = sql["louvain_sweeps"]
 
     sql["vf_pipeline_coarse"] = f"""
         WITH {_EDGES},

@@ -156,7 +156,33 @@ def _iter_stats(target, info):
 # Arrow/CSR-block sweep kernel (the reference's vectorized path, SURVEY §2.10)
 # ---------------------------------------------------------------------------
 
-def _arrow_cogroup_kernel(const: float):
+def _kernel_reduce_raw(cand):
+    """In-kernel (src, comm_dst) reduction of RAW message rows: numpy
+    lexsort + add.reduceat replaces the JVM hash aggregation. Sums are
+    in-order float64 over integer-valued weights — exact, so downstream
+    gains are bit-identical to the JVM-agg path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vid = cand["src"].to_numpy(np.int64)
+    cd = cand["comm_dst"].to_numpy(np.int64)
+    w = cand["weight"].to_numpy(np.float64)
+    ay = cand["ay"].to_numpy(np.float64)
+    sy = cand["size_y"].to_numpy(np.int64)
+    o = np.lexsort((cd, vid))
+    vid, cd, w, ay, sy = vid[o], cd[o], w[o], ay[o], sy[o]
+    starts = np.ones(len(vid), bool)
+    starts[1:] = (vid[1:] != vid[:-1]) | (cd[1:] != cd[:-1])
+    idx = np.flatnonzero(starts)
+    return pd.DataFrame({
+        "src": vid[idx], "comm_dst": cd[idx],
+        "eiy": np.add.reduceat(w, idx),
+        "ay": ay[idx], "size_y": sy[idx],
+    })
+
+
+def _arrow_cogroup_kernel(const: float, raw: bool = False):
     """Cogrouped numpy sweep: per block, the candidate rows — whose target
     community's ``(ay, size_y)`` already rode the message — meet the
     per-vertex state rows; merge, gain, argmax, tie-break and swap
@@ -178,6 +204,8 @@ def _arrow_cogroup_kernel(const: float):
     def sweep(cand: "pd.DataFrame", st: "pd.DataFrame") -> "pd.DataFrame":
         if len(st) == 0:
             return pd.DataFrame({k: pd.Series(dtype=t) for k, t in empty.items()})
+        if raw and len(cand):
+            cand = _kernel_reduce_raw(cand)
         o = np.argsort(st["vid"].to_numpy(np.int64))  # vids are unique
         svid = st["vid"].to_numpy(np.int64)[o]
         ssc = st["sc"].to_numpy(np.int64)[o]
@@ -232,15 +260,24 @@ def _arrow_cogroup_kernel(const: float):
     return sweep
 
 
-def _sweep_arrow_cogrouped(cand, state, const, nblocks):
+def _sweep_arrow_cogrouped(cand, state, const, nblocks, raw=False):
     """Build the target assignment with the cogrouped Arrow kernel: one
     shuffle of each side by vid-block replaces the scored-best-target join
     chain of the DataFrame path AND the candidate-level info/state joins.
+
+    ``raw=True``: ``cand`` is the raw message stream (src, weight,
+    comm_dst, ay, size_y) and the (src, comm_dst) reduction happens inside
+    the kernel — ONE block exchange of |E| rows instead of the JVM
+    hash-agg exchange (≈|E| in the early-sweep regime where most
+    neighbours are in distinct communities) plus a candidate exchange.
+    Best for bounded-sweep workloads; for long convergence runs the
+    JVM agg's map-side combine wins once communities have collapsed
+    (candidates << |E|).
     """
     c = cand.withColumn("block", F.col("src") % F.lit(nblocks))
     s = state.withColumn("block", F.col("vid") % F.lit(nblocks))
     return c.groupBy("block").cogroup(s.groupBy("block")).applyInPandas(
-        _arrow_cogroup_kernel(const),
+        _arrow_cogroup_kernel(const, raw=raw),
         "vid long, comm long, sc long, own_w double, degree double, self_w double",
     )
 
@@ -335,6 +372,7 @@ def louvain_phase(
     sample_pct: float | None = None,
     hub_salt: int | None = None,
     prepared: tuple[DataFrame, DataFrame, float, DataFrame] | None = None,
+    kernel_agg: bool = False,
 ) -> PhaseResult:
     """One Louvain phase with exact reference SFP-path semantics.
 
@@ -352,6 +390,13 @@ def louvain_phase(
     ``prepared``: optional ``louvain_prepare(edges)`` result — pass it for
     repeated phases over the same graph so the static sides (one full edge
     shuffle + sort) are built once, not per call.
+
+    ``kernel_agg`` (arrow path only): move the (src, comm_dst) message
+    reduction inside the Arrow kernel — one E-scale block exchange per
+    sweep instead of the JVM hash-agg exchange plus the candidate
+    exchange. Bit-identical (in-order float64 sums over integer-valued
+    weights); wins in the early-sweep regime (candidates ≈ |E|), loses
+    map-side combine so prefer the default for long convergence runs.
 
     ``hub_salt``: explicit skew handling for hub vertices (the engine twin
     of the reference GPU port's degree-binned execution,
@@ -428,7 +473,13 @@ def louvain_phase(
                 F.col("ax_full").alias("ay"), F.col("size_sc").alias("size_y"),
             )
             msg = edges.join(cdst2, "dst")
-            if hub_salt:
+            if kernel_agg and not hub_salt:
+                # raw message stream straight into the kernel: the
+                # (src, comm_dst) reduction happens Arrow-side (see
+                # _sweep_arrow_cogrouped raw=True) — one E-scale exchange
+                # per sweep instead of two in the early-sweep regime
+                cand = msg.select("src", "weight", "comm_dst", "ay", "size_y")
+            elif hub_salt:
                 # two-stage salted aggregation: spread hub keys over
                 # hub_salt reducers before the final combine
                 salt = F.pmod(F.xxhash64(F.col("dst").cast("long")), F.lit(hub_salt))
@@ -451,7 +502,8 @@ def louvain_phase(
                 )
             target = _apply_sampling(
                 _sweep_arrow_cogrouped(
-                    cand, state, const, spark.sparkContext.defaultParallelism
+                    cand, state, const, spark.sparkContext.defaultParallelism,
+                    raw=kernel_agg and not hub_salt,
                 ),
                 sample_pct, num_iters,
             ).transform(cut_lineage)
@@ -834,6 +886,7 @@ def louvain(
     driver_tail_edges: int = 2_000_000,
     method: str = "dataframe",
     hub_salt: int | None = None,
+    kernel_agg: bool = False,
 ) -> LouvainResult:
     """Multi-phase Louvain (``runMultiPhaseBasic.cpp:66-204`` semantics).
 
@@ -867,7 +920,7 @@ def louvain(
         res = louvain_phase(
             spark, g_edges, g_nv, lower=curr_mod, max_inner=max_inner,
             checkpoint=checkpoint, phase_tag=f"louvain_phase_{phase}",
-            method=method, hub_salt=hub_salt,
+            method=method, hub_salt=hub_salt, kernel_agg=kernel_agg,
         )
         curr_mod = res.modularity
         tot_iters += res.num_iters

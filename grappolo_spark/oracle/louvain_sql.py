@@ -1,0 +1,131 @@
+"""ANSI-SQL twin of the Louvain phase-1 sweep chain, unrolled.
+
+``louvain_sweeps_sql(k)`` emits the CTE chain computing EXACTLY what
+``operators.louvain.louvain_phase(..., max_inner=k)`` returns for the
+vertices that have at least one edge row: the greedy init
+(``initCommAssOptVec_SFP``, ``vectorizedLouvainMethod.cpp:194``) followed
+by ``k-1`` full gain-argmax sweeps applied unconditionally.
+
+Why ``k-1`` and unconditional application are exact:
+
+* the engine returns the assignment the FINAL sweep read, i.e. the state
+  after sweeps ``1..k-1`` were applied (sweep ``k``'s target is computed
+  only for the stats action and discarded);
+* if some sweep ``j < k`` moves nothing the engine exits early and
+  returns the state sweep ``j`` read — but a no-move sweep's target IS
+  its input (every vertex keeps ``sc``), so applying the remaining
+  sweeps unconditionally is the identity and both paths agree.
+
+Float safety: edge weights in the gated corpora are integer-valued, so
+every aggregate (``eiy``, ``degree``, ``c_degree``) is an exact float64;
+the gain expression keeps the engine's association order
+(``2*(eiy-eix) - 2*deg*(ay-ax)*const``, left-associated — see
+``operators/louvain.py:_gain``), so engine and DuckDB evaluate the same
+IEEE expression on the same exact inputs and every comparison
+(``gain > 0``, argmax ordering) is deterministic on both sides.
+
+Requires an ``edges(src, dst, weight)`` CTE in scope (symmetric rows,
+like every engine edge table). Emits CTEs named ``lv_*`` / ``lv_s{i}``
+and no final SELECT — append ``SELECT vid, comm FROM lv_s{k-1}``.
+"""
+
+from __future__ import annotations
+
+
+def _init_cte() -> str:
+    return """
+        lv_deg AS MATERIALIZED (SELECT src AS vid, SUM(weight) AS degree FROM edges GROUP BY src),
+        lv_cf AS (SELECT 1.0 / SUM(weight) AS c FROM edges),
+        lv_self AS MATERIALIZED (
+            SELECT src AS vid, SUM(weight) AS self_w FROM edges
+            WHERE src = dst GROUP BY src
+        ),
+        lv_g0 AS (
+            SELECT e.src, e.dst,
+                   (2.0 * (e.weight - 0.0))
+                   - (2.0 * d1.degree * (d2.degree - 0.0) * (SELECT c FROM lv_cf)) AS gain
+            FROM edges e
+            JOIN lv_deg d1 ON e.src = d1.vid
+            JOIN lv_deg d2 ON e.dst = d2.vid
+            WHERE e.src <> e.dst
+        ),
+        lv_b0 AS (
+            SELECT src, dst AS best FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY gain DESC, dst ASC) AS rn
+                FROM lv_g0 WHERE gain > 0
+            ) WHERE rn = 1
+        ),
+        lv_s0 AS MATERIALIZED (
+            SELECT v.vid,
+                   CAST(CASE WHEN b.best IS NOT NULL AND b.best < v.vid
+                             THEN b.best ELSE v.vid END AS BIGINT) AS comm
+            FROM lv_deg v LEFT JOIN lv_b0 b ON b.src = v.vid
+        )"""
+
+
+def _sweep_cte(i: int) -> str:
+    """One full sweep: state ``lv_s{i-1}`` -> ``lv_s{i}``.
+
+    Mirrors the engine sweep 1:1 (``operators/louvain.py:486-586``):
+    community info off the current assignment, per-(vertex, neighbour
+    community) weights, reference gain, max-gain/min-cid argmax, and the
+    singleton swap protection (``utilityClusteringFunctions.cpp:757-759``).
+    """
+    p = f"lv_s{i - 1}"
+    return f"""
+        lv_info{i} AS MATERIALIZED (
+            SELECT s.comm, COUNT(*) AS c_size, SUM(d.degree) AS c_degree
+            FROM {p} s JOIN lv_deg d USING (vid) GROUP BY s.comm
+        ),
+        lv_cand{i} AS MATERIALIZED (
+            SELECT e.src, sd.comm AS comm_dst, SUM(e.weight) AS eiy
+            FROM edges e JOIN {p} sd ON e.dst = sd.vid
+            GROUP BY e.src, sd.comm
+        ),
+        lv_base{i} AS MATERIALIZED (
+            SELECT s.vid, s.comm AS sc, d.degree, i.c_size AS size_sc,
+                   COALESCE(c.eiy, 0.0) - COALESCE(sw.self_w, 0.0) AS eix,
+                   i.c_degree - d.degree AS ax
+            FROM {p} s
+            JOIN lv_deg d USING (vid)
+            JOIN lv_info{i} i ON i.comm = s.comm
+            LEFT JOIN lv_cand{i} c ON c.src = s.vid AND c.comm_dst = s.comm
+            LEFT JOIN lv_self sw ON sw.vid = s.vid
+        ),
+        lv_scored{i} AS (
+            SELECT b.vid, b.sc, c.comm_dst, b.size_sc, iy.c_size AS size_y,
+                   (2.0 * (c.eiy - b.eix))
+                   - (2.0 * b.degree * (iy.c_degree - b.ax)
+                      * (SELECT cf.c FROM lv_cf cf)) AS gain
+            FROM lv_cand{i} c
+            JOIN lv_base{i} b ON b.vid = c.src
+            JOIN lv_info{i} iy ON iy.comm = c.comm_dst
+            WHERE c.comm_dst <> b.sc
+        ),
+        lv_best{i} AS (
+            SELECT vid, cand_comm, cand_size FROM (
+                SELECT vid, comm_dst AS cand_comm, size_y AS cand_size,
+                       ROW_NUMBER() OVER (PARTITION BY vid
+                                          ORDER BY gain DESC, comm_dst ASC) AS rn
+                FROM lv_scored{i} WHERE gain > 0
+            ) WHERE rn = 1
+        ),
+        lv_s{i} AS MATERIALIZED (
+            SELECT b.vid,
+                   CAST(CASE WHEN t.cand_comm IS NULL THEN b.sc
+                             WHEN t.cand_size = 1 AND b.size_sc = 1
+                                  AND t.cand_comm > b.sc THEN b.sc
+                             ELSE t.cand_comm END AS BIGINT) AS comm
+            FROM lv_base{i} b LEFT JOIN lv_best{i} t ON t.vid = b.vid
+        )"""
+
+
+def louvain_sweeps_sql(k: int) -> tuple[str, str]:
+    """Returns (cte_block, final_state_name) for ``max_inner=k``."""
+    if k < 1:
+        raise ValueError("k >= 1")
+    parts = [_init_cte()]
+    parts += [_sweep_cte(i) for i in range(1, k)]
+    return ",".join(parts), f"lv_s{k - 1}"
