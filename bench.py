@@ -45,6 +45,17 @@ PAGERANK_ITERS = 5
 LOUVAIN_INNER = 5
 BENCH_MAX_TURNS = 50
 BENCH_WINDOW = 16
+# kernel_agg=True (in-kernel (src, comm_dst) reduction) was measured and
+# REJECTED for the headline: it saves one JVM shuffle but ships the whole
+# raw message stream (|E| rows/sweep) through Arrow into Python — ~8x
+# slower louvain sweeps than the JVM hash-agg at 61M edge rows, where the
+# agg's map-side combine means only reduced candidates cross into the
+# kernel. Kept as a pytest-gated option for shuffle-constrained clusters.
+KERNEL_AGG = os.environ.get("SPARK_GRAFT_KERNEL_AGG", "0") == "1"
+# headline repeats: the box is a shared VM whose capacity swings several x
+# minute-to-minute; the median of BENCH_REPEATS back-to-back measurements
+# (all reported) is the headline — no best-of selection
+BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 
 def bench_corpus_dir(n_convs: int) -> str:
@@ -79,7 +90,7 @@ def build_bench_corpus(spark, n_convs: int) -> tuple:
     return edges, meta["rows"], meta["nv"]
 
 
-def run_headline(spark, edges, n_rows: int, nv: int) -> dict:
+def run_headline(spark, edges, n_rows: int, nv: int, repeats: int = BENCH_REPEATS) -> dict:
     """The fixed superstep workload: PR iters + Louvain Arrow sweeps.
 
     Static-side preparation (pinning the edge table, degree/self-loop
@@ -97,31 +108,45 @@ def run_headline(spark, edges, n_rows: int, nv: int) -> dict:
     # warm the JVM/codegen/Arrow paths outside the timed section
     pagerank(spark, edges, nv, tol=0.0, max_iter=1, prepared=pr_prep)
     louvain_phase(spark, edges, nv, max_inner=1, method="arrow",
-                  prepared=lv_prep)
+                  prepared=lv_prep, kernel_agg=KERNEL_AGG)
 
-    t0 = time.time()
-    pagerank(spark, edges, nv, tol=0.0, max_iter=PAGERANK_ITERS,
-             prepared=pr_prep)
-    t_pr = time.time() - t0
+    import statistics
 
-    t0 = time.time()
-    res = louvain_phase(spark, edges, nv, max_inner=LOUVAIN_INNER,
-                        method="arrow", prepared=lv_prep)
-    res.c.count()
-    t_lv = time.time() - t0
+    reps = []
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        pagerank(spark, edges, nv, tol=0.0, max_iter=PAGERANK_ITERS,
+                 prepared=pr_prep)
+        t_pr = time.time() - t0
 
-    supersteps = PAGERANK_ITERS + res.num_iters
-    secs = t_pr + t_lv
+        t0 = time.time()
+        res = louvain_phase(spark, edges, nv, max_inner=LOUVAIN_INNER,
+                            method="arrow", prepared=lv_prep,
+                            kernel_agg=KERNEL_AGG)
+        res.c.count()
+        t_lv = time.time() - t0
+
+        supersteps = PAGERANK_ITERS + res.num_iters
+        secs = t_pr + t_lv
+        reps.append({
+            "pagerank_secs": round(t_pr, 2),
+            "louvain_secs": round(t_lv, 2),
+            "louvain_sweeps": res.num_iters,
+            "edges_per_sec": round(n_rows * supersteps / secs, 1),
+            "pagerank_edges_per_sec": round(n_rows * PAGERANK_ITERS / t_pr, 1),
+            "louvain_edges_per_sec": round(n_rows * res.num_iters / t_lv, 1),
+        })
+
+    med = statistics.median(r["edges_per_sec"] for r in reps)
+    # representative repeat = the one closest to the median throughput
+    rep = min(reps, key=lambda r: abs(r["edges_per_sec"] - med))
     return {
         "edge_rows": n_rows,
         "nv": nv,
         "pagerank_iters": PAGERANK_ITERS,
-        "louvain_sweeps": res.num_iters,
-        "pagerank_secs": round(t_pr, 2),
-        "louvain_secs": round(t_lv, 2),
-        "edges_per_sec": round(n_rows * supersteps / secs, 1),
-        "pagerank_edges_per_sec": round(n_rows * PAGERANK_ITERS / t_pr, 1),
-        "louvain_edges_per_sec": round(n_rows * res.num_iters / t_lv, 1),
+        **rep,
+        "edges_per_sec": med,  # median across repeats, NOT best-of
+        "repeats": reps,
     }
 
 

@@ -53,7 +53,7 @@ spark = get_spark("scaling-leg",
                   extra_conf={"spark.ui.showConsoleProgress": "false"})
 spark.sparkContext.setLogLevel("ERROR")
 edges, n, nv = bench.build_bench_corpus(spark, %(n_convs)d)
-head = bench.run_headline(spark, edges, n, nv)
+head = bench.run_headline(spark, edges, n, nv, repeats=1)
 print(json.dumps(head))
 spark.stop()
 """
