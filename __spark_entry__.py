@@ -627,6 +627,46 @@ def _q_frame_sample(spark, sf):
     return MM.frame_sample(MM.attach_media(docs), every_n=5)
 
 
+def _q_stream_event_rollup(spark, sf):
+    """Per-(hour, event_type) rollup computed THROUGH the Structured
+    Streaming engine (file source → watermarked window agg → availableNow);
+    equals the batch GROUP BY, so the DuckDB oracle is plain SQL."""
+    from grappolo_spark.streaming import stream_event_rollup
+
+    return stream_event_rollup(spark, f"{sf}/events.parquet")
+
+
+def _q_stream_edge_etl(spark, sf):
+    """Incremental transcript→edge ETL: stream the deterministic synth
+    corpus through the foreachBatch delta store, compact, return the
+    symmetric edge table. Rows-only for the driver (vertex keys are
+    xxhash64, not SQL-reproducible without re-deriving the whole synth
+    corpus in SQL); exact batch parity is the pytest gate
+    (tests/test_streaming.py::test_incremental_edge_etl_matches_batch)."""
+    import shutil
+    import tempfile
+
+    from grappolo_spark import streaming as S
+    from grappolo_spark.synth import synth_transcripts
+
+    base = tempfile.mkdtemp(prefix="grappolo_stream_etl_")
+    try:
+        tr = synth_transcripts(spark, n_convs=300, max_turns=12)
+        tr.repartition(3).write.mode("overwrite").parquet(f"{base}/in")
+        stream = S.read_transcript_stream(
+            spark, f"{base}/in", max_files_per_trigger=1
+        )
+        S.run_incremental_edge_etl(
+            spark, stream, f"{base}/store", f"{base}/ckpt", window=4
+        )
+        # materialize before the tmp dir disappears
+        return S.compact_edge_store(spark, f"{base}/store").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph core (SURVEY §2.1/§2.4/§2.2)
@@ -699,6 +739,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
+        # Structured Streaming surface (engine addition; reference is
+        # batch-only — grappolo_spark/streaming.py)
+        "stream_event_rollup": _q_stream_event_rollup,
+        "stream_edge_etl": _q_stream_edge_etl,
     }
 
 
@@ -1619,6 +1663,19 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10
+    """
+
+    # the streaming rollup's availableNow run emits every window in
+    # complete mode, so it equals the batch GROUP BY; Spark's
+    # window('ts','1 hour') and date_trunc('hour') both align to the hour
+    sql["stream_event_rollup"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS bucket_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events
+        GROUP BY 1, 2
     """
 
     sql["nation_revenue"] = """
