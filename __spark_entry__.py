@@ -481,11 +481,19 @@ def _q_color_stats(spark, sf):
 
 
 def _q_louvain_colored(spark, sf):
+    """Coloring-staged multi-phase driver (ref C12). ``min_graph_size``
+    gates the colored phases to graphs above it — the reference's own
+    ``minGraphSize`` design (``runMultiPhaseColoring.cpp:174``): the color
+    sweep exists to cut superstep count on the HUGE first phases; running
+    it on a few-hundred-vertex coarse graph is pure scheduling overhead
+    (each color class pays a full job chain). 1000 puts phase 1 of the
+    sf0.01 graph (nv=2000) through the distributed colored path and hands
+    the coarse tail to the basic driver, exactly the 100-TB wiring."""
     from grappolo_spark.operators.louvain import louvain_coloring
 
     e = T.copurchase_edges(spark, sf)
     nv = T.copurchase_nv(spark, sf)
-    res = louvain_coloring(spark, e, nv, min_graph_size=1)
+    res = louvain_coloring(spark, e, nv, min_graph_size=1000)
     return res.c
 
 
