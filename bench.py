@@ -54,8 +54,9 @@ BENCH_WINDOW = 16
 KERNEL_AGG = os.environ.get("SPARK_GRAFT_KERNEL_AGG", "0") == "1"
 # headline repeats: the box is a shared VM whose capacity swings several x
 # minute-to-minute; the median of BENCH_REPEATS back-to-back measurements
-# (all reported) is the headline — no best-of selection
-BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+# (all reported) is the headline — no best-of selection. 3 repeats make
+# the median an actual middle value rather than a mean of two.
+BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
 def bench_corpus_dir(n_convs: int) -> str:
