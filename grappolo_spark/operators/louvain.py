@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..lineage import cut_lineage, pin_partitioned, release
@@ -128,27 +128,12 @@ def _apply_sampling(target, sample_pct, it):
         )
         < F.lit(sample_pct)
     )
-    extra = [c for c in ("own_w", "degree", "self_w") if c in target.columns]
+    extra = [c for c in ("own_w", "degree", "self_w", "_a2t") if c in target.columns]
     return target.select(
         "vid",
         F.when(mask, F.col("comm")).otherwise(F.col("sc")).alias("comm"),
         "sc",
         *extra,
-    )
-
-
-def _iter_stats(target, info):
-    """One job for the whole iteration's bookkeeping off the checkpointed
-    target: snapshot-modularity terms (e_xx = Σ own-community weight,
-    ref ``vectorizedLouvainMethod.cpp:281-295``; a2_x = Σ a_c²) + move count.
-    """
-    return (
-        target.agg(
-            F.sum("own_w").alias("e_xx"),
-            F.sum(F.when(F.col("comm") != F.col("sc"), 1).otherwise(0)).alias("moved"),
-        )
-        .crossJoin(info.agg(F.sum(F.col("c_degree") * F.col("c_degree")).alias("a2_x")))
-        .collect()[0]
     )
 
 
@@ -459,13 +444,20 @@ def louvain_phase(
                 .groupBy("comm")
                 .agg(F.count("*").alias("c_size"),
                      F.sum("degree").alias("c_degree"))
-                .cache()
             )
+            # a2_x = Σ_c c_degree² rides the state-materialization job as an
+            # observed metric: Σ_v degree·ax_full ≡ Σ_c c_deg·Σ_{v∈c}deg_v
+            # (exact for the integer-valued weights the engine guarantees) —
+            # one fewer job per sweep than a separate stats aggregation
+            obs_state = Observation()
             state = cut_lineage(
                 curr2.join(info, "comm").select(
                     "vid", F.col("comm").alias("sc"), "degree", "self_w",
                     F.col("c_degree").alias("ax_full"),
                     F.col("c_size").alias("size_sc"),
+                ).observe(
+                    obs_state,
+                    F.sum(F.col("degree") * F.col("ax_full")).alias("a2_x"),
                 )
             )
             cdst2 = state.select(
@@ -500,18 +492,30 @@ def louvain_phase(
                          F.first("ay").alias("ay"),
                          F.first("size_y").alias("size_y"))
                 )
-            target = _apply_sampling(
-                _sweep_arrow_cogrouped(
-                    cand, state, const, spark.sparkContext.defaultParallelism,
-                    raw=kernel_agg and not hub_salt,
-                ),
-                sample_pct, num_iters,
-            ).transform(cut_lineage)
-            stats = _iter_stats(target, info)
-            curr_mod = (stats["e_xx"] or 0.0) * const - (stats["a2_x"] or 0.0) * const * const
+            # the sweep's own bookkeeping (e_xx, moved) rides the target-
+            # materialization job the same way — the whole superstep is two
+            # jobs: state checkpoint + target checkpoint, zero stats jobs
+            obs_target = Observation()
+            target = cut_lineage(
+                _apply_sampling(
+                    _sweep_arrow_cogrouped(
+                        cand, state, const, spark.sparkContext.defaultParallelism,
+                        raw=kernel_agg and not hub_salt,
+                    ),
+                    sample_pct, num_iters,
+                ).observe(
+                    obs_target,
+                    F.sum("own_w").alias("e_xx"),
+                    F.sum(
+                        F.when(F.col("comm") != F.col("sc"), 1).otherwise(0)
+                    ).alias("moved"),
+                )
+            )
+            e_xx = obs_target.get["e_xx"] or 0.0
+            a2_x = obs_state.get["a2_x"] or 0.0
+            curr_mod = e_xx * const - a2_x * const * const
             trajectory.append(curr_mod)
-            moved = stats["moved"] or 0
-            info.unpersist()
+            moved = obs_target.get["moved"] or 0
             release(state)
             if moved > 0:
                 change = True
@@ -617,7 +621,14 @@ def louvain_phase(
             .select("vid", F.col("b.comm_dst").alias("cand_comm"),
                     F.col("b.size_y").alias("cand_size"))
         )
-        target = (
+        # all per-sweep bookkeeping rides the target-materialization job as
+        # observed metrics (no separate stats job): e_xx = Σ own_w, moved,
+        # and a2_x = Σ_v degree·ax_full ≡ Σ_c c_degree² (exact for the
+        # integer-valued weights the engine guarantees; ax_full = ax+degree
+        # is carried as a throwaway term and projected off before the
+        # checkpoint stores the state)
+        obs_target = Observation()
+        target = cut_lineage(
             base.join(best, "vid", "left")
             .select(
                 "vid",
@@ -632,12 +643,21 @@ def louvain_phase(
                 .alias("comm"),
                 F.col("sc"),
                 F.col("own_w"),
+                (F.col("degree") * (F.col("ax") + F.col("degree"))).alias("_a2t"),
             )
             .transform(lambda t: _apply_sampling(t, sample_pct, num_iters))
-            .transform(cut_lineage)
+            .observe(
+                obs_target,
+                F.sum("own_w").alias("e_xx"),
+                F.sum(
+                    F.when(F.col("comm") != F.col("sc"), 1).otherwise(0)
+                ).alias("moved"),
+                F.sum("_a2t").alias("a2_x"),
+            )
+            .select("vid", "comm", "sc", "own_w")
         )
 
-        stats = _iter_stats(target, info)
+        stats = obs_target.get
         curr_mod = (stats["e_xx"] or 0.0) * const - (stats["a2_x"] or 0.0) * const * const
         trajectory.append(curr_mod)
         moved = stats["moved"] or 0
