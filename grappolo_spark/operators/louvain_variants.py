@@ -39,10 +39,20 @@ exits on the plain threshold; later phases exit when ``Q_AFG == 0``
 (``:233-242``); the driver coarsens while ``Q_AFG != 0`` with caps
 200 phases / 10000 total iterations (``:113-119,142``).
 
-  Exactness note on Σ n_s²: the reference's incrementally-updated
-  ``cInfo[i].size`` keeps a size-1 slot for every isolated vertex forever
-  (``cUpdate`` skips -1 targets), so the engine adds ``n_isolated`` to
-  the fresh ``Σ size²`` recompute — bit-identical with integer weights.
+  Exactness note on community slots: the reference's ``cInfo`` array has
+  one incrementally-updated slot per ORIGINAL vertex
+  (``parallelDirectedLouvainMethod.cpp:91-99``: size=1, degree=out-degree
+  — 0 for out-isolated vertices), and ``cUpdate`` never touches the slot
+  of a vertex that is assigned -1, so an out-isolated vertex occupies its
+  own singleton slot forever. Candidate communities consisting of such a
+  vertex are therefore scored with ``ay=0 / size=1`` (gain ``2·eiy`` in
+  the first sweep — frequently the argmax), and a community a mover
+  shares with an out-isolated vertex counts that vertex in its size.
+  ``_slots_info`` reproduces this exactly from the current assignment by
+  remapping ``comm < 0`` back to the vertex's own slot id before the
+  fresh (count, Σdegree) recompute — bit-identical with integer weights,
+  including the Σ n_s² term the resistance variant reads (no separate
+  isolated-vertex correction needed).
 """
 
 from __future__ import annotations
@@ -53,7 +63,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lineage import cut_lineage, pin_partitioned, release
-from .louvain import _gain, coarsen, comm_info, renumber
+from .louvain import _gain, coarsen, renumber
+
+
+def _slots_info(curr: DataFrame, deg: DataFrame) -> DataFrame:
+    """(comm, c_size, c_degree) with the reference's per-vertex slot
+    semantics (see module docstring): a vertex assigned -1 still occupies
+    its own singleton slot, so it is remapped to ``vid`` before the
+    aggregate; out-isolated members contribute degree 0."""
+    return (
+        curr.select(
+            "vid",
+            F.when(F.col("comm") < 0, F.col("vid"))
+            .otherwise(F.col("comm"))
+            .alias("comm"),
+        )
+        .join(deg, "vid", "left")
+        .groupBy("comm")
+        .agg(
+            F.count("*").alias("c_size"),
+            F.sum(F.coalesce("degree", F.lit(0.0))).alias("c_degree"),
+        )
+    )
 
 
 @dataclass
@@ -92,8 +123,6 @@ def _base_phase(
     )
     sum_deg = deg.agg(F.sum("degree")).collect()[0][0] or 0.0
     const = const_factor / sum_deg if sum_deg > 0 else 0.0
-    n_live = deg.count()
-    n_iso = nv - n_live
     selfw = edges.filter(F.col("src") == F.col("dst")).select(
         F.col("src").alias("vid"), F.col("weight").alias("self_w")
     ).transform(cut_lineage)
@@ -116,7 +145,7 @@ def _base_phase(
 
     while True:
         num_iters += 1
-        info = comm_info(curr, deg).cache()
+        info = _slots_info(curr, deg).cache()
 
         cdst = curr.select(F.col("vid").alias("dst"), F.col("comm").alias("comm_dst"))
         cand = (
@@ -223,12 +252,10 @@ def _base_phase(
         if resistance_phase is not None and resistance_phase > 1:
             # r_min / Q_AFG bookkeeping (ref :192-218) — guarded by
             # ``if (phase > 1)`` in the reference (:193), so phase 1 keeps
-            # the -1.0 sentinel. Σ size² keeps one slot per isolated
-            # vertex in the reference — add n_iso back, EXCEPT on the
-            # first iteration where curr is still the singleton init and
-            # comm_info already counts the isolated singletons.
+            # the -1.0 sentinel. Σ size² is exact off _slots_info: every
+            # vertex (isolated ones included) permanently occupies a slot.
             w_2 = 1.0 / const if const > 0 else 0.0
-            n_c = float(stats["n_c"] or 0) + (n_iso if num_iters > 1 else 0)
+            n_c = float(stats["n_c"] or 0)
             nd = float(nv) - (n_c / float(nv)) if nv > 0 else 0.0
             r_min = (-(w_2) / nd) * curr_mod if nd != 0 else 0.0
             denom = w_2 - float(nv) * r_min

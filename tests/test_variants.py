@@ -51,6 +51,50 @@ def directed_reply_chain():
     return rows, 10
 
 
+def directed_sink_magnet():
+    """u -> v -> s with s a sink whose singleton slot v joins in sweep 1;
+    in sweep 2 u's best candidate is that community at the singleton-swap
+    protection boundary (cand_comm > sc), so the decision hinges on the
+    slot size INCLUDING the sink (the reference's cInfo keeps one slot per
+    original vertex and cUpdate never touches -1 slots,
+    ``parallelDirectedLouvainMethod.cpp:91-99``) — size 2 -> move; an
+    engine that drops -1 vertices from community info sees size 1 and
+    wrongly swap-protects. The 3<->4 2-cycle only inflates m so the gain
+    stays positive under const = 2/m."""
+    rows = [(0, 1, 1.0), (0, 2, 10.0), (2, 1, 10.0),
+            (3, 4, 100.0), (4, 3, 100.0)]
+    return rows, 5
+
+
+def test_directed_louvain_sink_slot_semantics(spark):
+    rows, nv = directed_sink_magnet()
+    df = _to_directed_df(spark, rows)
+    exp = directed_louvain_np(rows, nv, thresh=-1e9, max_inner=4)
+    got = directed_louvain(spark, df, nv, thresh=-1e9, max_inner=4)
+    assert exp["C"][0] == 1  # the spec: u joins the sink-anchored community
+    assert _collect(got.c, "comm", nv) == exp["C"]
+    assert got.trajectory == exp["trajectory"]
+
+
+def test_fasttrack_resistance_isolated_vertices(spark):
+    """two_cliques_bridge plus 3 trailing isolated vertices: the resistance
+    term's Σ n_s² must count each isolated vertex's permanent singleton
+    slot in EVERY iteration (ref cUpdate never touches -1 slots), and the
+    final assignment keeps -1 for them."""
+    edges, nv0 = fx.two_cliques_bridge()
+    nv = nv0 + 3
+    rows = fx.symmetric_rows(edges)
+    df = fx.to_spark_edges(spark, edges)
+    exp = fasttrack_resistance_np(rows, nv)
+    got = louvain_fasttrack_resistance(spark, df, nv)
+    assert _collect(got.c, "comm", nv) == exp["C"]
+    assert exp["C"][nv0:] == [-1, -1, -1]
+    assert got.r_min == exp["r_min"]
+    assert got.q_afg == exp["q_afg"]
+    assert got.phases == exp["phases"]
+    assert got.total_iters == exp["total_iters"]
+
+
 @pytest.mark.parametrize("maker", [directed_two_cycles, directed_reply_chain])
 def test_directed_louvain_matches_oracle(spark, maker):
     rows, nv = maker()
