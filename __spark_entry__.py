@@ -574,6 +574,27 @@ def _q_directed_louvain(spark, sf):
     return res.c
 
 
+DIRECTED_SWEEPS = 4  # fixed budget so the DuckDB twin unrolls the same chain
+                     # (returned state = after DIRECTED_SWEEPS - 2 applied
+                     # sweeps: pastCommAss double-buffer semantics)
+
+
+def _q_directed_louvain_sweeps(spark, sf):
+    """Hard DuckDB gate for the base-path variant sweep kernel (directed
+    Louvain, ref C8): the co-purchase graph oriented high->low (local-
+    minimum parts become sinks, exercising the reference's community-slot
+    bookkeeping — ``_slots_info``), run for exactly ``DIRECTED_SWEEPS``
+    sweeps with the threshold stop disabled. Twin:
+    ``oracle/louvain_sql.directed_sweeps_sql`` (validated vs the numpy
+    oracle in test_directed_sql_twin.py on sink-heavy fixtures)."""
+    from grappolo_spark.operators.louvain_variants import directed_louvain
+
+    e = T.copurchase_edges(spark, sf).filter(F.col("src") > F.col("dst"))
+    nv = T.copurchase_nv(spark, sf)
+    res = directed_louvain(spark, e, nv, thresh=-1e9, max_inner=DIRECTED_SWEEPS)
+    return res.c
+
+
 def _q_louvain_resistance(spark, sf):
     from grappolo_spark.operators.louvain_variants import louvain_fasttrack_resistance
 
@@ -740,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_balanced": _q_coloring_balanced,
         "color_stats": _q_color_stats,
         "directed_louvain": _q_directed_louvain,
+        "directed_louvain_sweeps": _q_directed_louvain_sweeps,
         "louvain_resistance": _q_louvain_resistance,
         "label_propagation": _q_labelprop,
         "rcm_ordering": _q_rcm,
@@ -1076,6 +1098,16 @@ def oracle_sql() -> dict[str, str]:
     """
     # the Arrow path is the same math (pytest-gated bit-identical); one twin
     sql["louvain_sweeps_arrow"] = sql["louvain_sweeps"]
+
+    from grappolo_spark.oracle.louvain_sql import directed_sweeps_sql
+
+    _dv_ctes, _dv_final = directed_sweeps_sql(DIRECTED_SWEEPS)
+    sql["directed_louvain_sweeps"] = f"""
+        WITH {_EDGES},
+        dedges AS (SELECT src, dst, weight FROM edges WHERE src > dst),
+        dverts AS (SELECT CAST(p_partkey AS BIGINT) AS vid FROM part),{_dv_ctes}
+        SELECT vid, comm FROM {_dv_final}
+    """
 
     sql["vf_pipeline_coarse"] = f"""
         WITH {_EDGES},

@@ -129,3 +129,108 @@ def louvain_sweeps_sql(k: int) -> tuple[str, str]:
     parts = [_init_cte()]
     parts += [_sweep_cte(i) for i in range(1, k)]
     return ",".join(parts), f"lv_s{k - 1}"
+
+
+# ---------------------------------------------------------------------------
+# Base-path variant twin (directed Louvain, ref C8) — singleton init,
+# pastCommAss return semantics, reference community-slot bookkeeping.
+# ---------------------------------------------------------------------------
+
+def _dv_init_cte(const_factor: float) -> str:
+    return f"""
+        dv_deg AS MATERIALIZED (
+            SELECT src AS vid, SUM(weight) AS degree FROM dedges GROUP BY src
+        ),
+        dv_cf AS (SELECT {const_factor!r} / SUM(weight) AS c FROM dedges),
+        dv_self AS MATERIALIZED (
+            SELECT src AS vid, SUM(weight) AS self_w FROM dedges
+            WHERE src = dst GROUP BY src
+        ),
+        dv_s0 AS MATERIALIZED (
+            SELECT CAST(vid AS BIGINT) AS vid, CAST(vid AS BIGINT) AS comm
+            FROM dverts
+        )"""
+
+
+def _dv_sweep_cte(i: int) -> str:
+    """One applied base-path sweep: state ``dv_s{i-1}`` -> ``dv_s{i}``.
+
+    Mirrors ``operators.louvain_variants._base_phase`` 1:1: community info
+    with the reference's per-vertex SLOT semantics (a -1 vertex still
+    occupies its own singleton slot — ``_slots_info``), out-view candidate
+    weights, reference gain under const_factor/sum(deg), candidate
+    communities with id < 0 skipped (cInfo[-1] UB spec), max-gain/min-cid
+    argmax, singleton swap protection, and the -1 fill for vertices with
+    no out-rows (ref ``parallelDirectedLouvainMethod.cpp:174-176``).
+    """
+    p = f"dv_s{i - 1}"
+    return f"""
+        dv_info{i} AS MATERIALIZED (
+            SELECT CASE WHEN s.comm < 0 THEN s.vid ELSE s.comm END AS comm,
+                   COUNT(*) AS c_size,
+                   COALESCE(SUM(d.degree), 0.0) AS c_degree
+            FROM {p} s LEFT JOIN dv_deg d USING (vid)
+            GROUP BY 1
+        ),
+        dv_cand{i} AS MATERIALIZED (
+            SELECT e.src, sd.comm AS comm_dst, SUM(e.weight) AS eiy
+            FROM dedges e JOIN {p} sd ON e.dst = sd.vid
+            GROUP BY e.src, sd.comm
+        ),
+        dv_base{i} AS MATERIALIZED (
+            SELECT s.vid, s.comm AS sc, d.degree, i.c_size AS size_sc,
+                   COALESCE(c.eiy, 0.0) - COALESCE(sw.self_w, 0.0) AS eix,
+                   i.c_degree - d.degree AS ax
+            FROM {p} s
+            JOIN dv_deg d USING (vid)
+            JOIN dv_info{i} i ON i.comm = s.comm
+            LEFT JOIN dv_cand{i} c ON c.src = s.vid AND c.comm_dst = s.comm
+            LEFT JOIN dv_self sw ON sw.vid = s.vid
+        ),
+        dv_scored{i} AS (
+            SELECT b.vid, b.sc, c.comm_dst, b.size_sc, iy.c_size AS size_y,
+                   (2.0 * (c.eiy - b.eix))
+                   - (2.0 * b.degree * (iy.c_degree - b.ax)
+                      * (SELECT cf.c FROM dv_cf cf)) AS gain
+            FROM dv_cand{i} c
+            JOIN dv_base{i} b ON b.vid = c.src
+            JOIN dv_info{i} iy ON iy.comm = c.comm_dst
+            WHERE c.comm_dst >= 0 AND c.comm_dst <> b.sc
+        ),
+        dv_best{i} AS (
+            SELECT vid, cand_comm, cand_size FROM (
+                SELECT vid, comm_dst AS cand_comm, size_y AS cand_size,
+                       ROW_NUMBER() OVER (PARTITION BY vid
+                                          ORDER BY gain DESC, comm_dst ASC) AS rn
+                FROM dv_scored{i} WHERE gain > 0
+            ) WHERE rn = 1
+        ),
+        dv_s{i} AS MATERIALIZED (
+            SELECT v.vid, CAST(COALESCE(t.comm, -1) AS BIGINT) AS comm
+            FROM dv_s0 v LEFT JOIN (
+                SELECT b.vid,
+                       CASE WHEN t.cand_comm IS NULL THEN b.sc
+                            WHEN t.cand_size = 1 AND b.size_sc = 1
+                                 AND t.cand_comm > b.sc THEN b.sc
+                            ELSE t.cand_comm END AS comm
+                FROM dv_base{i} b LEFT JOIN dv_best{i} t ON t.vid = b.vid
+            ) t USING (vid)
+        )"""
+
+
+def directed_sweeps_sql(max_inner: int, const_factor: float = 2.0) -> tuple[str, str]:
+    """SQL twin of ``_base_phase(edges, nv, const_factor, thresh=-inf,
+    max_inner=max_inner)``: with the threshold stop disabled the phase runs
+    exactly ``max_inner`` sweeps and returns pastCommAss — the state the
+    second-to-last sweep READ, i.e. after sweeps ``1..max_inner-2`` were
+    applied (double-buffer swap, ``parallelDirectedLouvainMethod.cpp:
+    236-241``). Requires ``dedges(src, dst, weight)`` (directed out-rows)
+    and ``dverts(vid)`` (the full 0..nv-1 vertex universe) CTEs in scope.
+    Returns (cte_block, final_state_name).
+    """
+    if max_inner < 2:
+        raise ValueError("max_inner >= 2 (one computed sweep minimum)")
+    applied = max_inner - 2
+    parts = [_dv_init_cte(const_factor)]
+    parts += [_dv_sweep_cte(i) for i in range(1, applied + 1)]
+    return ",".join(parts), f"dv_s{applied}"
