@@ -59,7 +59,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..lineage import cut_lineage, pin_partitioned, release
@@ -213,7 +213,14 @@ def _base_phase(
             .select("vid", F.col("b.comm_dst").alias("cand_comm"),
                     F.col("b.size_y").alias("cand_size"))
         )
-        target = (
+        # per-sweep bookkeeping rides the target-materialization job as
+        # observed metrics (no separate stats job): e_xx, moved, and
+        # a2_x = Σ_v degree·(ax+degree) ≡ Σ_c c_degree² — exact for the
+        # integer-valued weights the engine guarantees (non-out slots
+        # contribute 0 to both sides). The throwaway _a2t term is
+        # projected off before the checkpoint stores the state.
+        obs_target = Observation()
+        target = cut_lineage(
             base.join(best, "vid", "left")
             .select(
                 "vid",
@@ -228,23 +235,30 @@ def _base_phase(
                 .alias("comm"),
                 "sc",
                 "own_w",
+                (F.col("degree") * (F.col("ax") + F.col("degree"))).alias("_a2t"),
             )
-            .transform(cut_lineage)
+            .observe(
+                obs_target,
+                F.sum("own_w").alias("e_xx"),
+                F.sum(
+                    F.when(F.col("comm") != F.col("sc"), 1).otherwise(0)
+                ).alias("moved"),
+                F.sum("_a2t").alias("a2_x"),
+            )
+            .select("vid", "comm", "sc", "own_w")
         )
 
-        stats = (
-            target.agg(
-                F.sum("own_w").alias("e_xx"),
-                F.sum(F.when(F.col("comm") != F.col("sc"), 1).otherwise(0)).alias("moved"),
-            )
-            .crossJoin(info.agg(
-                F.sum(F.col("c_degree") * F.col("c_degree")).alias("a2_x"),
-                F.sum(F.col("c_size") * F.col("c_size")).alias("n_c"),
-            ))
-            .collect()[0]
-        )
+        stats = obs_target.get
         curr_mod = (stats["e_xx"] or 0.0) * const - (stats["a2_x"] or 0.0) * const * const
         trajectory.append(curr_mod)
+        # Σ size² is only read by the resistance bookkeeping; it needs the
+        # per-slot sizes (non-out slots included), which don't live on the
+        # target rows — one extra job, resistance variant only
+        n_c_sq = (
+            info.agg(F.sum(F.col("c_size") * F.col("c_size"))).collect()[0][0]
+            if resistance_phase is not None
+            else None
+        )
         info.unpersist()
         cand.unpersist()
 
@@ -255,7 +269,7 @@ def _base_phase(
             # the -1.0 sentinel. Σ size² is exact off _slots_info: every
             # vertex (isolated ones included) permanently occupies a slot.
             w_2 = 1.0 / const if const > 0 else 0.0
-            n_c = float(stats["n_c"] or 0)
+            n_c = float(n_c_sq or 0)
             nd = float(nv) - (n_c / float(nv)) if nv > 0 else 0.0
             r_min = (-(w_2) / nd) * curr_mod if nd != 0 else 0.0
             denom = w_2 - float(nv) * r_min
