@@ -604,6 +604,30 @@ def _q_louvain_resistance(spark, sf):
     return res.c
 
 
+RESISTANCE_SWEEPS = 3  # fixed budget so the DuckDB twin unrolls the same chain
+
+
+def _q_louvain_resistance_sweeps(spark, sf):
+    """Hard DuckDB gate for the FastTrackResistance bookkeeping (ref C9):
+    exactly ``RESISTANCE_SWEEPS`` undirected base-path sweeps with the
+    phase>1 Granell-Arenas bookkeeping active, returning the per-sweep
+    scalars (Σ n_s² over community slots, modularity, r_min, Q_AFG) the
+    multi-phase driver steers by. Twin:
+    ``oracle/louvain_sql.resistance_stats_sql`` (validated vs the numpy
+    oracle in test_resistance_sql_twin.py)."""
+    from grappolo_spark.operators.louvain_variants import resistance_sweep_stats
+
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    out = resistance_sweep_stats(spark, e, nv, sweeps=RESISTANCE_SWEEPS)
+    return out.select(
+        "it", "sum_size_sq",
+        _r6("curr_mod").alias("curr_mod"),
+        _r6("r_min").alias("r_min"),
+        _r6("q_afg").alias("q_afg"),
+    )
+
+
 def _q_coloring_maxmin(spark, sf):
     from grappolo_spark.operators.coloring import maxmin_coloring
 
@@ -762,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "color_stats": _q_color_stats,
         "directed_louvain": _q_directed_louvain,
         "directed_louvain_sweeps": _q_directed_louvain_sweeps,
+        "louvain_resistance_sweeps": _q_louvain_resistance_sweeps,
         "louvain_resistance": _q_louvain_resistance,
         "label_propagation": _q_labelprop,
         "rcm_ordering": _q_rcm,
@@ -1107,6 +1132,20 @@ def oracle_sql() -> dict[str, str]:
         dedges AS (SELECT src, dst, weight FROM edges WHERE src > dst),
         dverts AS (SELECT CAST(p_partkey AS BIGINT) AS vid FROM part),{_dv_ctes}
         SELECT vid, comm FROM {_dv_final}
+    """
+
+    from grappolo_spark.oracle.louvain_sql import resistance_stats_sql
+
+    _rs_ctes, _rs_final = resistance_stats_sql(RESISTANCE_SWEEPS)
+    sql["louvain_resistance_sweeps"] = f"""
+        WITH {_EDGES},
+        dedges AS (SELECT src, dst, weight FROM edges),
+        dverts AS (SELECT CAST(p_partkey AS BIGINT) AS vid FROM part),{_rs_ctes}
+        SELECT it, sum_size_sq,
+               ROUND(curr_mod, 6) AS curr_mod,
+               ROUND(r_min, 6) AS r_min,
+               ROUND(q_afg, 6) AS q_afg
+        FROM {_rs_final}
     """
 
     sql["vf_pipeline_coarse"] = f"""

@@ -96,6 +96,11 @@ class BasePhaseResult:
     r_min: float = 0.0      # resistance variant only
     q_afg: float = -1.0     # resistance variant only
     fin_mod: float = -1.0   # resistance variant only (currMod at exit)
+    # resistance variant only: one dict per sweep recording the full
+    # bookkeeping (it, sum_size_sq, curr_mod, r_min, q_afg) — empty unless
+    # resistance_phase > 1; gated by the DuckDB twin
+    # (oracle/louvain_sql.resistance_stats_sql)
+    res_traj: list = field(default_factory=list)
 
 
 def _base_phase(
@@ -107,6 +112,7 @@ def _base_phase(
     lower: float,
     max_inner: int,
     resistance_phase: int | None = None,
+    force_sweeps: bool = False,
 ) -> BasePhaseResult:
     """One base-path phase over the rows of ``edges`` treated as the
     out-adjacency (symmetric rows → undirected semantics; directed rows →
@@ -139,6 +145,7 @@ def _base_phase(
     prev_mod = -1.0
     num_iters = 0
     trajectory = []
+    res_traj = []
     r_min = 0.0
     q_afg = -1.0
     curr_mod = -1.0
@@ -274,10 +281,20 @@ def _base_phase(
             r_min = (-(w_2) / nd) * curr_mod if nd != 0 else 0.0
             denom = w_2 - float(nv) * r_min
             q_afg = ((w_2 * curr_mod) + (r_min * nd)) / denom if denom != 0 else 0.0
+            res_traj.append({
+                "it": num_iters,
+                "sum_size_sq": int(n_c_sq or 0),
+                "curr_mod": curr_mod,
+                "r_min": r_min,
+                "q_afg": q_afg,
+            })
             stop = q_afg == 0
         else:
             stop = (curr_mod - prev_mod) < thresh
-        if stop or num_iters >= max_inner:
+        # force_sweeps (gate-only): run exactly max_inner sweeps so the
+        # static DuckDB twin can unroll the same chain — Q_AFG is an FP
+        # cancellation residue that hits exactly 0 data-dependently
+        if (stop and not force_sweeps) or num_iters >= max_inner:
             break
 
         prev_mod = max(curr_mod, lower)
@@ -302,6 +319,7 @@ def _base_phase(
         r_min=r_min,
         q_afg=q_afg,
         fin_mod=curr_mod,
+        res_traj=res_traj,
     )
 
 
@@ -322,6 +340,34 @@ def directed_louvain(
     """
     return _base_phase(spark, edges, nv, const_factor=2.0, thresh=thresh,
                        lower=lower, max_inner=max_inner)
+
+
+def resistance_sweep_stats(
+    spark: SparkSession,
+    edges: DataFrame,
+    nv: int,
+    sweeps: int,
+) -> DataFrame:
+    """Per-sweep FastTrackResistance bookkeeping (ref C9,
+    ``parallelLouvainMethodFastTrackResistance.cpp:192-218``) as a table:
+    one row per sweep of an undirected base-path phase run with the
+    phase>1 bookkeeping active — (it, sum_size_sq, curr_mod, r_min,
+    q_afg). ``sum_size_sq`` is Σ n_s² over the reference's community
+    SLOTS (a -1 vertex keeps its own singleton slot), the term Nd reads;
+    the scalars come from the observed per-sweep metrics, so this gates
+    the exact numbers the multi-phase resistance driver steers by.
+    DuckDB twin: ``oracle/louvain_sql.resistance_stats_sql`` (validated
+    vs the numpy oracle in test_resistance_sql_twin.py).
+    """
+    res = _base_phase(
+        spark, edges, nv, const_factor=1.0, thresh=-1e18, lower=-1.0,
+        max_inner=sweeps, resistance_phase=2, force_sweeps=True,
+    )
+    return spark.createDataFrame(
+        [(r["it"], r["sum_size_sq"], r["curr_mod"], r["r_min"], r["q_afg"])
+         for r in res.res_traj],
+        "it long, sum_size_sq long, curr_mod double, r_min double, q_afg double",
+    )
 
 
 @dataclass

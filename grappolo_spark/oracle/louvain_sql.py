@@ -234,3 +234,94 @@ def directed_sweeps_sql(max_inner: int, const_factor: float = 2.0) -> tuple[str,
     parts = [_dv_init_cte(const_factor)]
     parts += [_dv_sweep_cte(i) for i in range(1, applied + 1)]
     return ",".join(parts), f"dv_s{applied}"
+
+
+# ---------------------------------------------------------------------------
+# FastTrackResistance bookkeeping twin (ref C9) — per-sweep r_min / Q_AFG
+# scalars of the undirected base path, phase>1 semantics.
+# ---------------------------------------------------------------------------
+
+def _rs_stat_cte(i: int) -> str:
+    """Per-sweep raw aggregates off the state sweep ``i`` READ (the same
+    ``dv_info{i}``/``dv_base{i}`` CTEs the sweep itself uses):
+
+    * ``e_xx`` = Σ_v(own community weight) over vertices with out-rows —
+      reassembled exactly as Σ eix + Σ self_w (``own_w = eix + self_w``
+      per row; every self-loop owner has out-rows, and all terms are
+      integer-valued so the regrouped sum is bit-equal);
+    * ``a2_x`` = Σ_c c_degree² over the reference's community slots —
+      the engine's observed Σ degree·(ax+degree) collapses to the same
+      value (non-out slot members carry degree 0);
+    * ``sum_size_sq`` = Σ_c c_size² (the Nd term; -1 vertices keep their
+      own singleton slot, exactly ``dv_info``'s remap).
+    """
+    return f"""
+        rs_stat{i} AS (
+            SELECT CAST({i} AS BIGINT) AS it,
+                   (SELECT SUM(x.c_size * x.c_size) FROM dv_info{i} x)
+                       AS sum_size_sq,
+                   (SELECT SUM(b.eix) FROM dv_base{i} b)
+                   + (SELECT COALESCE(SUM(self_w), 0.0) FROM dv_self)
+                       AS e_xx,
+                   (SELECT SUM(x.c_degree * x.c_degree) FROM dv_info{i} x)
+                       AS a2_x
+        )"""
+
+
+def resistance_stats_sql(sweeps: int, const_factor: float = 1.0) -> tuple[str, str]:
+    """SQL twin of ``operators.louvain_variants.resistance_sweep_stats``:
+    one row per sweep ``1..sweeps`` with (it, sum_size_sq, curr_mod,
+    r_min, q_afg), the Granell-Arenas bookkeeping of
+    ``parallelLouvainMethodFastTrackResistance.cpp:192-218`` under phase>1
+    semantics. Every arithmetic expression keeps the engine's (Python
+    float) association order so both sides evaluate the same IEEE
+    expression on exact integer-valued aggregate inputs:
+
+    * ``curr_mod = e_xx*c - a2_x*c*c``  (c = const_factor/Σw)
+    * ``w_2 = 1.0/c`` (NOT Σw — 1/(1/Σw) may differ in the last ulp)
+    * ``nd = nv - sum_size_sq/nv``; ``r_min = (-w_2/nd)*curr_mod``
+    * ``q_afg = (w_2*curr_mod + r_min*nd) / (w_2 - nv*r_min)``
+
+    Requires ``dedges(src, dst, weight)`` and ``dverts(vid)`` CTEs in
+    scope (symmetric rows for the undirected resistance variant). Returns
+    (cte_block, final_name) — final has no guard rows: nd == 0 or a zero
+    denominator yields the engine's 0.0 fallbacks via CASE.
+    """
+    if sweeps < 1:
+        raise ValueError("sweeps >= 1")
+    parts = [_dv_init_cte(const_factor)]
+    # sweep CTEs up to ``sweeps`` so rs_stat{i} can read dv_info/base{i};
+    # the final state CTE of sweep ``sweeps`` is simply never referenced
+    parts += [_dv_sweep_cte(i) for i in range(1, sweeps + 1)]
+    parts += [_rs_stat_cte(i) for i in range(1, sweeps + 1)]
+    union = " UNION ALL ".join(
+        f"SELECT * FROM rs_stat{i}" for i in range(1, sweeps + 1)
+    )
+    parts.append(f"""
+        rs_k AS (
+            SELECT (SELECT c FROM dv_cf) AS c,
+                   1.0 / (SELECT c FROM dv_cf) AS w_2,
+                   CAST((SELECT COUNT(*) FROM dverts) AS DOUBLE) AS nv
+        ),
+        rs_mod AS (
+            SELECT s.it, s.sum_size_sq, k.w_2, k.nv,
+                   s.e_xx * k.c - s.a2_x * k.c * k.c AS curr_mod,
+                   k.nv - (CAST(s.sum_size_sq AS DOUBLE) / k.nv) AS nd
+            FROM ({union}) s CROSS JOIN rs_k k
+        ),
+        rs_r AS (
+            SELECT it, sum_size_sq, w_2, nv, curr_mod, nd,
+                   CASE WHEN nd <> 0 THEN ((-w_2) / nd) * curr_mod
+                        ELSE 0.0 END AS r_min
+            FROM rs_mod
+        ),
+        rs_out AS (
+            SELECT it, CAST(sum_size_sq AS BIGINT) AS sum_size_sq,
+                   curr_mod, r_min,
+                   CASE WHEN (w_2 - nv * r_min) <> 0
+                        THEN ((w_2 * curr_mod) + (r_min * nd))
+                             / (w_2 - nv * r_min)
+                        ELSE 0.0 END AS q_afg
+            FROM rs_r
+        )""")
+    return ",".join(parts), "rs_out"

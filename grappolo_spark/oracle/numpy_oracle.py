@@ -485,7 +485,7 @@ def triangle_counts_np(edges, nv):
 # ---------------------------------------------------------------------------
 
 def base_phase_np(edges, nv, const_factor=1.0, thresh=1e-6, lower=-1.0,
-                  max_inner=1000, resistance_phase=None):
+                  max_inner=1000, resistance_phase=None, force_sweeps=False):
     """One base-path phase — the shared shape of the reference's directed
     (``parallelDirectedLouvainMethod.cpp:47-280``) and FastTrackResistance
     (``parallelLouvainMethodFastTrackResistance.cpp:47-302``) variants:
@@ -522,6 +522,7 @@ def base_phase_np(edges, nv, const_factor=1.0, thresh=1e-6, lower=-1.0,
     prev_mod = -1.0
     num_iters = 0
     trajectory = []
+    res_traj = []
     r_min = 0.0
     q_afg = -1.0
     curr_mod = -1.0
@@ -572,10 +573,19 @@ def base_phase_np(edges, nv, const_factor=1.0, thresh=1e-6, lower=-1.0,
             r_min = (-(w_2) / nd) * curr_mod if nd != 0 else 0.0
             denom = w_2 - float(nv) * r_min
             q_afg = ((w_2 * curr_mod) + (r_min * nd)) / denom if denom != 0 else 0.0
+            res_traj.append({
+                "it": num_iters,
+                "sum_size_sq": int(n_c),
+                "curr_mod": curr_mod,
+                "r_min": r_min,
+                "q_afg": q_afg,
+            })
             stop = q_afg == 0
         else:
             stop = (curr_mod - prev_mod) < thresh
-        if stop or num_iters >= max_inner:
+        # force_sweeps (gate-only): run exactly max_inner sweeps — see
+        # operators/louvain_variants._base_phase
+        if (stop and not force_sweeps) or num_iters >= max_inner:
             break
 
         prev_mod = curr_mod if curr_mod >= lower else lower
@@ -590,7 +600,7 @@ def base_phase_np(edges, nv, const_factor=1.0, thresh=1e-6, lower=-1.0,
     return {
         "C": past, "modularity": prev_mod, "num_iters": num_iters,
         "trajectory": trajectory, "r_min": r_min, "q_afg": q_afg,
-        "fin_mod": curr_mod,
+        "fin_mod": curr_mod, "res_traj": res_traj,
     }
 
 

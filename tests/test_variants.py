@@ -263,3 +263,30 @@ def test_rcm_reduces_bandwidth(spark):
     new = {r["vid"]: r["new_id"] for r in got_df.collect()}
     bw = max(abs(new[u] - new[v]) for u, v, _ in edges)
     assert bw == 1  # a path relabeled by BFS from an endpoint is banded
+
+
+@pytest.mark.parametrize("name,k", [("karate", 3), ("two_cliques_bridge", 4),
+                                    ("disconnected", 3)])
+def test_resistance_sweep_stats_matches_oracle(spark, name, k):
+    """Engine per-sweep resistance bookkeeping (resistance_sweep_stats,
+    behind the louvain_resistance_sweeps DuckDB gate) must be bit-equal to
+    the numpy oracle's res_traj — including Q_AFG, a pure FP-cancellation
+    residue, so any arithmetic reassociation fails this test."""
+    from grappolo_spark.operators.louvain_variants import resistance_sweep_stats
+    from grappolo_spark.oracle.numpy_oracle import base_phase_np
+
+    edges, nv = fx.ALL_FIXTURES[name]()
+    rows = fx.symmetric_rows(edges)
+    df = fx.to_spark_edges(spark, edges)
+    exp = base_phase_np(rows, nv, const_factor=1.0, thresh=-1e18,
+                        max_inner=k, resistance_phase=2,
+                        force_sweeps=True)["res_traj"]
+    got = sorted(resistance_sweep_stats(spark, df, nv, sweeps=k).collect(),
+                 key=lambda r: r["it"])
+    assert len(got) == len(exp) == k
+    for g, e in zip(got, exp):
+        assert g["it"] == e["it"]
+        assert g["sum_size_sq"] == e["sum_size_sq"], (name, g["it"])
+        assert g["curr_mod"] == e["curr_mod"], (name, g["it"])
+        assert g["r_min"] == e["r_min"], (name, g["it"])
+        assert g["q_afg"] == e["q_afg"], (name, g["it"])
