@@ -68,15 +68,21 @@ def _burn(counter):
         counter.value += 1
 
 
-def cpu_probe(worker_counts) -> dict[int, int]:
-    """Pure-CPU scaling ceiling of the box: work units per 6 s window."""
-    out = {}
-    for workers in worker_counts:
-        counters = [multiprocessing.Value("i", 0) for _ in range(workers)]
-        procs = [multiprocessing.Process(target=_burn, args=(c,)) for c in counters]
-        [p.start() for p in procs]
-        [p.join() for p in procs]
-        out[workers] = sum(c.value for c in counters)
+def cpu_probe(worker_counts, reps: int = 1) -> dict[int, int]:
+    """Pure-CPU scaling ceiling of the box: work units per 6 s window.
+
+    With reps > 1 the legs are interleaved and each worker count keeps
+    its MAX — a ceiling is a capability, and on a co-tenant box the max
+    over repeats is the estimator least biased by steal (a stolen window
+    under-reports the ceiling; nothing can over-report it)."""
+    out = {w: 0 for w in worker_counts}
+    for _ in range(max(1, reps)):
+        for workers in worker_counts:
+            counters = [multiprocessing.Value("i", 0) for _ in range(workers)]
+            procs = [multiprocessing.Process(target=_burn, args=(c,)) for c in counters]
+            [p.start() for p in procs]
+            [p.join() for p in procs]
+            out[workers] = max(out[workers], sum(c.value for c in counters))
     return out
 
 
@@ -96,20 +102,24 @@ def _triad(counter):
         counter.value += 1
 
 
-def mem_probe(worker_counts) -> dict[int, float]:
+def mem_probe(worker_counts, reps: int = 1) -> dict[int, float]:
     """Aggregate DRAM bandwidth (GB/s) the box sustains at each worker
     count — the *memory* ceiling for the shuffle/hash-join superstep
-    workload, which the pure-CPU probe cannot see."""
-    out = {}
-    for workers in worker_counts:
-        counters = [multiprocessing.Value("i", 0) for _ in range(workers)]
-        procs = [multiprocessing.Process(target=_triad, args=(c,)) for c in counters]
-        [p.start() for p in procs]
-        [p.join() for p in procs]
-        passes = sum(c.value for c in counters)
-        # ~6 x 128 MiB per pass: read c, write a (+RFO), read a,
-        # read b, write a (+RFO)
-        out[workers] = round(passes * 6 * (1 << 27) / 6.0 / 1e9, 1)
+    workload, which the pure-CPU probe cannot see. Max over interleaved
+    repeats, same rationale as cpu_probe."""
+    out = {w: 0.0 for w in worker_counts}
+    for _ in range(max(1, reps)):
+        for workers in worker_counts:
+            counters = [multiprocessing.Value("i", 0) for _ in range(workers)]
+            procs = [multiprocessing.Process(target=_triad, args=(c,)) for c in counters]
+            [p.start() for p in procs]
+            [p.join() for p in procs]
+            passes = sum(c.value for c in counters)
+            # ~6 x 128 MiB per pass: read c, write a (+RFO), read a,
+            # read b, write a (+RFO)
+            out[workers] = max(
+                out[workers], round(passes * 6 * (1 << 27) / 6.0 / 1e9, 1)
+            )
     return out
 
 
@@ -148,9 +158,9 @@ def main():
     print("materializing corpus ...", flush=True)
     run_at(n_big, n_convs)
 
-    probe = cpu_probe([1, n_small, n_big])
+    probe = cpu_probe([1, n_small, n_big], reps=3)
     probe_eff = (probe[n_big] / probe[n_small]) / 4.0
-    bw = mem_probe([1, n_small, n_big])
+    bw = mem_probe([1, n_small, n_big], reps=3)
     bw_eff = (bw[n_big] / bw[n_small]) / 4.0
 
     runs: dict[int, list[dict]] = {n_small: [], n_mid: [], n_big: []}
@@ -174,6 +184,8 @@ def main():
     r0 = runs[n_big][0]
     eff_lo = (med[n_mid] / med[n_small]) / 2.0
     eff_hi = (med[n_big] / med[n_mid]) / 2.0
+    eff_lo_norm = norm[n_mid] / norm[n_small]
+    eff_hi_norm = norm[n_big] / norm[n_mid]
     best_big = max(runs[n_big], key=lambda r: r["edges_per_sec"])
     worst_big = min(runs[n_big], key=lambda r: r["edges_per_sec"])
 
@@ -194,6 +206,10 @@ reference's own strong-scaling protocol
 
 ## Machine calibration (pure-CPU probe, no Spark)
 
+Max over 3 interleaved repeats per worker count: a ceiling is a
+capability, and on a co-tenant box a stolen window can only
+UNDER-report it, so the max is the least-biased estimator.
+
 | workers | work units | scaling vs 1 |
 | --- | --- | --- |
 | 1 | {probe[1]} | 1.00x |
@@ -209,7 +225,8 @@ handle.
 ## Machine calibration (DRAM bandwidth probe, no Spark)
 
 STREAM-style triad (numpy ``a = b + 2.5*c`` over 3×128 MiB arrays per
-worker — far beyond LLC, every pass hits DRAM):
+worker — far beyond LLC, every pass hits DRAM); max over 3 interleaved
+repeats, as above:
 
 | workers | aggregate GB/s | scaling vs 1 |
 | --- | --- | --- |
@@ -298,19 +315,24 @@ Splitting the 4x pair into its two 2x halves (same data as the table
 above):
 
 - **{n_small}→{n_mid}: ({med[n_mid]:,.0f} / {med[n_small]:,.0f}) / 2 =
-  {eff_lo:.2f} efficiency, raw** — the box virtually always has
-  ≥{n_mid} free cores, so this half is nearly free of host
-  interference; it is the cleanest single-box read on the engine's own
-  N→2N behavior.
-- **{n_mid}→{n_big}: {eff_hi:.2f} — this half tracks host core-steal
-  directly.** The 4N rep that ran at the highest bracketed capacity
-  ({best_big["capacity_units"]:,.0f} units) hit
+  {eff_lo:.2f} efficiency raw, {eff_lo_norm:.2f} per offered capacity
+  unit.**
+- **{n_mid}→{n_big}: {eff_hi:.2f} raw, {eff_hi_norm:.2f} per offered
+  capacity unit.**
+- The raw halves move with the host, not just the engine: on a shared
+  box each leg runs against whatever capacity the co-tenants left (the
+  bracketed units in the table), so a raw half can land far below — or,
+  when the smaller leg was the stolen one, above — 1.0. The
+  per-capacity-unit column divides each leg by the compute its own
+  bracketing probes measured, which is the comparison a dedicated-core
+  cluster would see. The best 4N rep (bracketed at
+  {best_big["capacity_units"]:,.0f} units) hit
   **{best_big["edges_per_sec"]:,.0f} edges/s** —
   {best_big["edges_per_sec"] / 3.5e6:.1f}x the com-orkut anchor and
   {best_big["edges_per_sec"] / 8.8e6:.2f}x the uk2002 flagship anchor —
-  while the rep at {worst_big["capacity_units"]:,.0f} units dropped to
-  {worst_big["edges_per_sec"]:,.0f}: running {n_big} task threads on
-  fewer effective cores oversubscribes and thrashes, a failure mode a
+  while the worst ran at {worst_big["edges_per_sec"]:,.0f}
+  ({worst_big["capacity_units"]:,.0f} units): {n_big} task threads on
+  fewer effective cores oversubscribe and thrash, a failure mode a
   real 4N cluster (dedicated cores per executor) cannot have.
 - **Per-superstep fixed cost is the remaining engine-side term.** A
   superstep on this corpus takes seconds, of which ~1-2 s is
