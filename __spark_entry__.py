@@ -371,6 +371,31 @@ def _q_embed_centroids(spark, sf):
     return VX.label_centroids(vecs).select("label", "dim", _r6("centroid").alias("centroid"))
 
 
+# Embedding-cosine near-dup (dedup-by-embedding). The synthetic embeddings
+# are mutually far apart (max pair cosine ~0.51 at sf0.01), so the query
+# plants deterministic near-duplicate twins — vec_id+100000 with component
+# i scaled by _ND_MULT[i] (±3%) — and the operator must recover them via
+# LSH buckets + exact-cosine verify. Multipliers and hyperplane signs are
+# driver-computed literals shared verbatim with the DuckDB twin.
+_ND_TWINS = 40
+_ND_MULT = [1.0 + ((i % 7) - 3) * 0.01 for i in range(64)]
+
+
+def _q_embed_near_dups(spark, sf):
+    vecs = T.table(spark, sf, "embeddings")
+    base = vecs.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    mult = F.array(*[F.lit(m) for m in _ND_MULT])
+    twins = base.filter(F.col("vec_id") < _ND_TWINS).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with("embedding", mult, lambda x, m: x * m).alias("embedding"),
+    )
+    out = VX.near_dup_pairs(base.unionByName(twins), threshold=0.99)
+    return out.select("id_a", "id_b", _r6("cosine").alias("cosine"))
+
+
 # --- relational primitives demo (scan/agg/join paths, ref §2.4/§2.3) -------
 
 def _q_pricing_summary(spark, sf):
@@ -665,12 +690,20 @@ def _q_multimodal_meta(spark, sf):
 
 def _q_multimodal_features(spark, sf):
     """Decode → 16-bin content histogram over real pixels/samples (the
-    feature stage of the multimodal pipeline); rows-only (float32 array
-    output — exactness gate is tests/test_multimodal.py)."""
+    feature stage of the multimodal pipeline), as exact integer counts
+    exploded to (doc_id, bin, cnt). The histogram is order-invariant, so
+    the DuckDB twin recomputes it in closed form from the cycled text
+    bytes (synthesis rules in functions/multimodal.py; audio's int16
+    encode/decode algebra reduces to (byte+64)//16 for ASCII input). The
+    float32-normalized variant stays pytest-gated
+    (tests/test_multimodal.py)."""
     from grappolo_spark.functions import multimodal as MM
 
     docs = T.table(spark, sf, "documents")
-    return MM.extract_features(MM.attach_media(docs))
+    feats = MM.extract_features(MM.attach_media(docs), normalize=False)
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("bin", "cnt")
+    ).select("doc_id", F.col("bin").cast("long").alias("bin"), F.col("cnt"))
 
 
 def _q_frame_sample(spark, sf):
@@ -678,6 +711,42 @@ def _q_frame_sample(spark, sf):
 
     docs = T.table(spark, sf, "documents")
     return MM.frame_sample(MM.attach_media(docs), every_n=5)
+
+
+def _q_multimodal_resize(spark, sf):
+    """Image resize stage end-to-end: synth BMP → decode → 8x8 NN resize →
+    re-encode BMP → decode again → pixel checksum. The DuckDB twin
+    recomputes the checksum in closed form from the cycle/NN index algebra
+    (decoded[y,x,c] = text_byte[((h-1-y)*3w + 3x + c) % len],
+    src = (dst * in) // out)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from grappolo_spark.functions import multimodal as MM
+
+    docs = T.table(spark, sf, "documents")
+    resized = MM.resize_images(MM.attach_media(docs), out_w=8, out_h=8)
+
+    def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = [
+                int(MM.decode_image(bytes(p)).astype(np.int64).sum())
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": pdf["width"].values,
+                    "height": pdf["height"].values,
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return resized.mapInPandas(
+        _check, "doc_id long, width int, height int, pix_sum long"
+    )
 
 
 def _q_stream_event_rollup(spark, sf):
@@ -760,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: embeddings
         "embed_cosine_topk": _q_embed_topk,
         "embed_centroids": _q_embed_centroids,
+        "embed_near_dup_pairs": _q_embed_near_dups,
         # relational primitives
         "pricing_summary": _q_pricing_summary,
         "top_orders_revenue": _q_top_orders,
@@ -793,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "multimodal_metadata": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_resize": _q_multimodal_resize,
         "frame_sample": _q_frame_sample,
         # Structured Streaming surface (engine addition; reference is
         # batch-only — grappolo_spark/streaming.py)
@@ -1706,6 +1777,141 @@ def oracle_sql() -> dict[str, str]:
         SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank,
                ROUND(cosine, 6) AS cosine
         FROM rr WHERE rn <= 5
+    """
+
+    # multimodal feature twin: the engine histograms REAL decoded bytes
+    # (BMP pixels / WAV samples / VID0 frames); the twin exploits that the
+    # decoded content is exactly _cycle_bytes(text, N) under the synthesis
+    # rules, so byte k of the text contributes (N-1-k)//len + 1 occurrences
+    # (positions j with j % len == k, j < N). Audio's PCM16 round-trip
+    # ((c-64)*256 then >>8 + 128) is exactly (c+64) for ASCII bytes. Text
+    # is ASCII in this corpus (ord == byte value; checked in the harness).
+    sql["multimodal_features"] = """
+        WITH m AS (
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS media_type,
+                   text, strlen(text) AS len
+            FROM documents
+        ),
+        sz AS (
+            SELECT doc_id, media_type, text, len,
+                   CASE media_type
+                        WHEN 'image' THEN 3 * (4 + len % 13) * (4 + doc_id % 11)
+                        WHEN 'audio' THEN 32 + (len * 3) % 241
+                        ELSE (1 + doc_id % 12) * (2 + doc_id % 7)
+                             * (2 + len % 5) * 3
+                   END AS n
+            FROM m
+        ),
+        contrib AS (
+            SELECT doc_id,
+                   CASE WHEN media_type = 'audio'
+                        THEN ((ord(substr(text, CAST(k AS INT) + 1, 1)) + 64) % 256) // 16
+                        ELSE ord(substr(text, CAST(k AS INT) + 1, 1)) // 16
+                   END AS bin,
+                   (n - 1 - k) // len + 1 AS w
+            FROM sz, UNNEST(range(len)) t(k)
+            WHERE k < n
+        ),
+        counts AS (
+            SELECT doc_id, bin, SUM(w) AS cnt FROM contrib GROUP BY 1, 2
+        )
+        SELECT g.doc_id, CAST(g.bin AS BIGINT) AS bin,
+               CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, UNNEST(range(16)) AS bin FROM m) g
+        LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bin = g.bin
+    """
+
+    # resize twin: decoded pixel (y,x,c) of a synth BMP is
+    # text_byte[((h-1-y)*3w + 3x + c) % len]; NN resize samples
+    # sy=(yo*h)//8, sx=(xo*w)//8, so the resized-pixel checksum is a pure
+    # closed form over the 8x8x3 destination grid.
+    sql["multimodal_resize"] = """
+        WITH m AS (
+            SELECT doc_id, text, strlen(text) AS len,
+                   4 + strlen(text) % 13 AS w, 4 + doc_id % 11 AS h
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        pos AS (
+            SELECT doc_id, text, len,
+                   (yo.y * h) // 8 AS sy, (xo.x * w) // 8 AS sx, cc.c AS c,
+                   w, h
+            FROM m,
+                 (SELECT UNNEST(range(8)) AS y) yo,
+                 (SELECT UNNEST(range(8)) AS x) xo,
+                 (SELECT UNNEST(range(3)) AS c) cc
+        )
+        SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+               CAST(SUM(ord(substr(
+                   text,
+                   CAST(((h - 1 - sy) * 3 * w + 3 * sx + c) % len AS INT) + 1,
+                   1))) AS BIGINT) AS pix_sum
+        FROM pos GROUP BY doc_id
+    """
+
+    # embedding-cosine near-dup twin: identical planted twins (same
+    # multiplier literals), md5-derived plane signs, Hamming<=1 bucket
+    # candidates and exact-cosine verify as functions/vectors.py:
+    # near_dup_pairs + _q_embed_near_dups
+    _nd_mult = "[" + ", ".join(repr(m) for m in _ND_MULT) + "]"
+    sql["embed_near_dup_pairs"] = f"""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(embedding::DOUBLE[],
+                                  (x, i) -> x * ({_nd_mult}::DOUBLE[])[i])
+            FROM embeddings WHERE vec_id < {_ND_TWINS}
+        ),
+        n AS MATERIALIZED (
+            SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+        ),
+        comp AS (
+            SELECT vec_id, UNNEST(e) AS val, UNNEST(range(len(e))) AS i FROM v
+        ),
+        signs AS (
+            SELECT pp.p, ii.i,
+                   CASE WHEN strpos('89abcdef',
+                                    substr(md5(pp.p || ':' || ii.i), 1, 1)) > 0
+                        THEN 1.0 ELSE -1.0 END AS s
+            FROM (SELECT UNNEST(range(8)) AS p) pp
+            CROSS JOIN (SELECT UNNEST(range(64)) AS i) ii
+        ),
+        dots AS (
+            SELECT c.vec_id, s.p, SUM(c.val * s.s) AS d
+            FROM comp c JOIN signs s ON s.i = c.i
+            GROUP BY 1, 2
+        ),
+        buckets AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN d >= 0 THEN (1 << CAST(7 - p AS INT))
+                                 ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id
+        ),
+        probes AS (
+            SELECT vec_id AS aid,
+                   UNNEST([bucket, xor(bucket, 1), xor(bucket, 2),
+                           xor(bucket, 4), xor(bucket, 8), xor(bucket, 16),
+                           xor(bucket, 32), xor(bucket, 64),
+                           xor(bucket, 128)]) AS bucket
+            FROM buckets
+        ),
+        cand AS (
+            SELECT DISTINCT p.aid, h.vec_id AS nid
+            FROM probes p JOIN buckets h USING (bucket)
+            WHERE p.aid < h.vec_id
+        ),
+        cos AS (
+            SELECT c.aid, c.nid,
+                   list_dot_product(na.e, nn.e) / (na.nrm * nn.nrm) AS cosine
+            FROM cand c
+            JOIN n na ON na.vec_id = c.aid
+            JOIN n nn ON nn.vec_id = c.nid
+        )
+        SELECT aid AS id_a, nid AS id_b, ROUND(cosine, 6) AS cosine
+        FROM cos WHERE cosine >= 0.99
     """
 
     sql["embed_centroids"] = """

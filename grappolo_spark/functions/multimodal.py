@@ -68,6 +68,13 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+FEATURE_COUNT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", ArrayType(LongType())),
+    ]
+)
+
 WAV_SAMPLE_RATE = 8000
 
 
@@ -271,10 +278,12 @@ def _feature_histogram(values: np.ndarray) -> np.ndarray:
     return hist / total if total else hist
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """Decode → FEATURE_DIM float32 per payload: normalized 16-bin
-    histogram over REAL decoded content (pixel bytes for image/video,
-    uint8-folded samples for audio)."""
+def extract_features(media: DataFrame, normalize: bool = True) -> DataFrame:
+    """Decode → FEATURE_DIM per payload: 16-bin histogram over REAL
+    decoded content (pixel bytes for image/video, uint8-folded samples
+    for audio). ``normalize=True`` (default) yields float32 fractions —
+    the ML-pipeline shape; ``normalize=False`` yields exact int64 counts,
+    the hash-stable form the DuckDB oracle twin reproduces."""
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -288,12 +297,64 @@ def extract_features(media: DataFrame) -> DataFrame:
                     vals = ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8)
                 else:
                     vals = decode_video(p).reshape(-1)
-                feats.append(_feature_histogram(vals))
+                if normalize:
+                    feats.append(_feature_histogram(vals))
+                else:
+                    feats.append(
+                        np.bincount(vals >> 4, minlength=FEATURE_DIM).astype(np.int64)
+                    )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].values, "feature": feats}
             )
 
-    return media.mapInPandas(_features, FEATURE_SCHEMA)
+    return media.mapInPandas(
+        _features, FEATURE_SCHEMA if normalize else FEATURE_COUNT_SCHEMA
+    )
+
+
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Nearest-neighbor image resize (decode → resize → re-encode BMP),
+    the standardize-resolution stage of a training-data pipeline.
+
+    Pure-numpy NN sampling (``img[np.ix_(ys, xs)]`` with
+    ``src = (dst * in_size) // out_size``) per Arrow batch; non-image rows
+    are dropped. Returns (doc_id, width, height, payload) where payload is
+    a real re-encoded BMP of the resized pixels — decode(resize(x))
+    roundtrips exactly (tests/test_multimodal.py)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for d, t, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if t != "image":
+                    continue
+                img = decode_image(bytes(p))
+                h, w = img.shape[:2]
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                res = img[np.ix_(ys, xs)]
+                # encode_bmp stores bottom-up; feed rows reversed so
+                # decode_image(payload) returns `res` exactly
+                ids.append(int(d))
+                payloads.append(encode_bmp(out_w, out_h, res[::-1].tobytes()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series([out_w] * len(ids), dtype="int32"),
+                    "height": pd.Series([out_h] * len(ids), dtype="int32"),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return media.mapInPandas(_resize, schema)
 
 
 def frame_sample(media: DataFrame, every_n: int = 5) -> DataFrame:

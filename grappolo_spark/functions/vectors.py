@@ -177,6 +177,69 @@ def lsh_ann_topk(
     )
 
 
+def near_dup_pairs(
+    vecs: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-by-embedding mode).
+
+    Scale path: sign-random-projection buckets (same md5-derived planes as
+    ``lsh_ann_topk``); a pair is a candidate iff the two bucket signatures
+    are within Hamming distance 1 (own bucket + every 1-bit-flip probe).
+    Candidates verify with the exact cosine and survive at ``>= threshold``.
+    The candidate join is keyed on the bucket id — per-vector fan-out is
+    bounded by (n_planes+1) x bucket occupancy, never all-pairs, which is
+    what survives 10^10 vectors. Returns (id_a, id_b, cosine), id_a < id_b.
+    """
+    base = with_norm(vecs, emb_col).select(
+        F.col(id_col).alias("nid"),
+        _as_double(F.col(emb_col)).alias("nemb"),
+        F.col("_norm").alias("nnorm"),
+    )
+    sig_bits = [
+        F.when(_plane_sign(F.col("nemb"), p, dim) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in range(n_planes)
+    ]
+    bucket = sig_bits[0] * 0
+    for i, b in enumerate(sig_bits):
+        bucket = bucket + F.shiftleft(b.cast("long"), n_planes - 1 - i)
+    hashed = base.withColumn("bucket", bucket).localCheckpoint(eager=True)
+
+    probes = hashed.select(
+        F.col("nid").alias("aid"),
+        F.col("nemb").alias("aemb"),
+        F.col("nnorm").alias("anorm"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                    for i in range(n_planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        probes.join(hashed, "bucket")
+        .filter(F.col("aid") < F.col("nid"))
+        .select(
+            "aid",
+            "nid",
+            (_dot(F.col("aemb"), F.col("nemb")) / (F.col("anorm") * F.col("nnorm"))).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates(["aid", "nid"])
+    )
+    return cand.filter(F.col("cosine") >= threshold).select(
+        F.col("aid").alias("id_a"), F.col("nid").alias("id_b"), "cosine"
+    )
+
+
 def label_centroids(vecs: DataFrame, emb_col: str = "embedding") -> DataFrame:
     """(label, dim, centroid) — mean embedding component per label."""
     ex = vecs.select(

@@ -90,6 +90,66 @@ def test_features_are_real_decoded_histograms(spark, docs):
     assert np.allclose(feats[0], exp, atol=1e-6)
 
 
+def test_resize_nearest_neighbor_exact():
+    # 4x2 image with a recognizable byte ramp; upscale to 8x4
+    src = bytes(range(4 * 2 * 3))
+    payload = MM.encode_bmp(4, 2, src)
+    img = MM.decode_image(payload)
+    ys = (np.arange(4) * 2) // 4
+    xs = (np.arange(8) * 4) // 8
+    want = img[np.ix_(ys, xs)]
+    # NN upscale duplicates each source pixel 2x in both axes
+    assert (want[0, 0] == want[1, 1]).all()
+    rt = MM.decode_image(MM.encode_bmp(8, 4, want[::-1].tobytes()))
+    assert rt.shape == (4, 8, 3) and (rt == want).all()
+
+
+def test_resize_images_pipeline(spark, docs):
+    out = {
+        r["doc_id"]: r
+        for r in MM.resize_images(MM.attach_media(docs), out_w=8, out_h=8).collect()
+    }
+    n_images = sum(1 for i in range(30) if i % 3 == 0)
+    assert len(out) == n_images
+    for i in range(0, 30, 3):
+        text = f"document body {i} " + "x" * (i % 37)
+        img = MM.decode_image(MM._synth_payload(i, "image", text.encode()))
+        h, w = img.shape[:2]
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        want = img[np.ix_(ys, xs)]
+        r = out[i]
+        assert (r["width"], r["height"]) == (8, 8)
+        got = MM.decode_image(bytes(r["payload"]))
+        assert (got == want).all()
+
+
+def test_feature_counts_mode_exact(spark, docs):
+    """normalize=False yields exact int64 bin counts: counts/sum equals
+    the normalized float32 path, and counts sum to the decoded content
+    size from the synthesis rules."""
+    media = MM.attach_media(docs).localCheckpoint(eager=True)
+    counts = {
+        r["doc_id"]: np.array(r["feature"], dtype=np.int64)
+        for r in MM.extract_features(media, normalize=False).collect()
+    }
+    norm = {
+        r["doc_id"]: np.array(r["feature"])
+        for r in MM.extract_features(media).collect()
+    }
+    assert len(counts) == 30
+    for i in range(30):
+        n = len(f"document body {i} " + "x" * (i % 37))
+        if i % 3 == 0:
+            total = 3 * (4 + n % 13) * (4 + i % 11)
+        elif i % 3 == 1:
+            total = 32 + (n * 3) % 241
+        else:
+            total = (1 + i % 12) * (2 + i % 7) * (2 + n % 5) * 3
+        assert counts[i].sum() == total
+        assert np.allclose(counts[i] / total, norm[i], atol=1e-6)
+
+
 def test_frame_sample_indices(spark, docs):
     out = MM.frame_sample(MM.attach_media(docs), every_n=5).collect()
     got = {}
