@@ -587,6 +587,15 @@ def _q_ann_lsh(spark, sf):
     return out.select("query_id", "neighbor_id", "rank", _r6("cosine").alias("cosine"))
 
 
+def _q_ann_ivf(spark, sf):
+    """IVF-partitioned ANN (the brief's named alternative scale path to
+    LSH): inverted lists keyed on the nearest of 16 coarse centroids,
+    queries probe their 4 nearest lists, exact-cosine re-rank."""
+    vecs = T.table(spark, sf, "embeddings")
+    out = VX.ivf_ann_topk(vecs, n_queries=40, k=5, n_cells=16, n_probe=4)
+    return out.select("query_id", "neighbor_id", "rank", _r6("cosine").alias("cosine"))
+
+
 def _q_directed_louvain(spark, sf):
     """Directed Louvain (ref C8) over the DIRECTED transcript reply/tool
     graph — the natural directed surface of the north-rule input."""
@@ -861,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_labelprop,
         "rcm_ordering": _q_rcm,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "multimodal_metadata": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
         "multimodal_resize": _q_multimodal_resize,
@@ -1767,6 +1777,54 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c
             JOIN hashed hq ON hq.vec_id = c.qid
             JOIN hashed hn ON hn.vec_id = c.nid
+        ),
+        rr AS (
+            SELECT qid, nid, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, nid) AS rn
+            FROM cos
+        )
+        SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank,
+               ROUND(cosine, 6) AS cosine
+        FROM rr WHERE rn <= 5
+    """
+
+    # IVF ANN twin: same coarse quantizer (vec_id < 16 as centroids),
+    # argmax-cosine list assignment (tie -> lowest cell id), 4-probe query
+    # fan-out and (cosine DESC, nid) re-rank as functions/vectors.py:
+    # ivf_ann_topk. Dot products are left-to-right folds on both engines,
+    # so cell assignment and ranking are bit-identical.
+    sql["ann_ivf_topk"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        n AS MATERIALIZED (
+            SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+        ),
+        cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n
+                  WHERE vec_id < 16),
+        ranked AS MATERIALIZED (
+            SELECT n.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY list_dot_product(n.e, c.ce) / (n.nrm * c.cn)
+                                DESC, c.cid) AS crank
+            FROM n, cents c
+        ),
+        inverted AS (SELECT vec_id AS nid, cid FROM ranked WHERE crank = 1),
+        probes AS (
+            SELECT vec_id AS qid, cid FROM ranked
+            WHERE vec_id < 40 AND crank <= 4
+        ),
+        cand AS (
+            SELECT p.qid, i.nid
+            FROM probes p JOIN inverted i USING (cid)
+            WHERE i.nid <> p.qid
+        ),
+        cos AS (
+            SELECT c.qid, c.nid,
+                   list_dot_product(nq.e, nn.e) / (nq.nrm * nn.nrm) AS cosine
+            FROM cand c
+            JOIN n nq ON nq.vec_id = c.qid
+            JOIN n nn ON nn.vec_id = c.nid
         ),
         rr AS (
             SELECT qid, nid, cosine,

@@ -11,6 +11,12 @@
   bucket. Probing all single-bit-flip neighbor buckets bounds the recall
   loss. The candidate join is keyed on the bucket id — bounded fan-out,
   no all-pairs join, which is what survives 10^10 vectors.
+* ``ivf_ann_topk`` — the other scale path: IVF cell partitioning. Every
+  vector joins one inverted list (nearest of n_cells coarse centroids);
+  a query scans only its n_probe nearest lists. n_probe == n_cells
+  degenerates to the exact answer — the recall gate.
+* ``near_dup_pairs`` — dedup-by-embedding: LSH buckets + Hamming≤1
+  multiprobe candidates, exact-cosine verify at a threshold.
 * ``label_centroids`` — per-label mean vector via posexplode (one shuffle
   keyed (label, dim)).
 """
@@ -237,6 +243,91 @@ def near_dup_pairs(
     )
     return cand.filter(F.col("cosine") >= threshold).select(
         F.col("aid").alias("id_a"), F.col("nid").alias("id_b"), "cosine"
+    )
+
+
+def ivf_ann_topk(
+    vecs: DataFrame,
+    n_queries: int = 50,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cell partitioning.
+
+    The coarse quantizer is the ``n_cells`` vectors with the smallest ids
+    (centroid *training* — k-means over a sample — is an offline concern in
+    real IVF deployments; the index structure, which is what scales, is
+    identical). Every vector joins exactly one inverted list: the centroid
+    with the highest cosine (tie → lowest cell id). A query scores only the
+    ``n_probe`` nearest cells' lists and re-ranks candidates by exact
+    cosine. The candidate join is keyed on the cell id — per-query work is
+    n_probe/n_cells of the corpus in expectation, never a full scan, and
+    the inverted lists shard by cell across executors: the 10^10-vector
+    layout. With ``n_probe == n_cells`` the result equals ``cosine_topk``
+    exactly (the recall gate in tests/test_vectors.py).
+
+    Returns (query_id, neighbor_id, rank, cosine); ranking is
+    (cosine desc, neighbor_id asc) like the exact path.
+    """
+    base = with_norm(vecs, emb_col).select(
+        F.col(id_col).alias("nid"),
+        _as_double(F.col(emb_col)).alias("nemb"),
+        F.col("_norm").alias("nnorm"),
+    )
+    cents = base.filter(F.col("nid") < n_cells).select(
+        F.col("nid").alias("cid"),
+        F.col("nemb").alias("cemb"),
+        F.col("nnorm").alias("cnorm"),
+    )
+    scored_cells = base.crossJoin(F.broadcast(cents)).select(
+        "nid",
+        "nemb",
+        "nnorm",
+        "cid",
+        (_dot(F.col("nemb"), F.col("cemb")) / (F.col("nnorm") * F.col("cnorm"))).alias(
+            "ccos"
+        ),
+    )
+    wc = Window.partitionBy("nid").orderBy(F.desc("ccos"), F.asc("cid"))
+    ranked = scored_cells.withColumn("crank", F.row_number().over(wc))
+    inverted = (
+        ranked.filter(F.col("crank") == 1)
+        .select("nid", "nemb", "nnorm", "cid")
+        .localCheckpoint(eager=True)
+    )
+    probes = (
+        ranked.filter((F.col("nid") < n_queries) & (F.col("crank") <= n_probe))
+        .select(
+            F.col("nid").alias("qid"),
+            F.col("nemb").alias("qemb"),
+            F.col("nnorm").alias("qnorm"),
+            "cid",
+        )
+    )
+    scored = (
+        inverted.join(F.broadcast(probes), "cid")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            (_dot(F.col("qemb"), F.col("nemb")) / (F.col("qnorm") * F.col("nnorm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "cosine",
+        )
     )
 
 

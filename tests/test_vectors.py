@@ -84,6 +84,40 @@ def test_near_dup_matches_exact_allpairs(vecs):
     assert lsh == exact and len(exact) == 10
 
 
+def test_ivf_full_probe_equals_exact(vecs):
+    """n_probe == n_cells degenerates IVF to the exact answer: every cell
+    is probed, so the candidate set is the whole corpus."""
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in VX.cosine_topk(vecs, n_queries=20, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in VX.ivf_ann_topk(
+            vecs, n_queries=20, k=5, n_cells=8, n_probe=8
+        ).collect()
+    }
+    assert ivf == exact and len(exact) == 20 * 5
+
+
+def test_ivf_partial_probe_is_exact_on_probed_lists(vecs):
+    """With n_probe < n_cells every returned (query, neighbor, cosine) is
+    one of the query's exact scores, ranks are contiguous from 1, and at
+    most k rows come back per query."""
+    rows = VX.ivf_ann_topk(vecs, n_queries=10, k=5, n_cells=8, n_probe=2).collect()
+    exact = {
+        (r.query_id, r.neighbor_id): round(r.cosine, 9)
+        for r in VX.cosine_topk(vecs, n_queries=10, k=10**9).collect()
+    }
+    per_q = {}
+    for r in rows:
+        assert exact[(r.query_id, r.neighbor_id)] == round(r.cosine, 9)
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
 def test_near_dup_no_pairs_on_raw_corpus(vecs):
     # the synthetic embeddings are mutually far apart (max pair cosine
     # ~0.5): without planted twins the result is empty — no false positives
