@@ -19,8 +19,15 @@ dangling rows are materialized once at the end. D_k = n_dangling * r_d(k)
 with r_d(k+1) = (1-a)/NV + a*D_k/NV — exactly the uniform-redistribution
 semantics of the numpy oracle.
 
-Lineage is cut with ``localCheckpoint`` every ``checkpoint_every``
-iterations so 100-iteration runs keep constant-size plans.
+Lineage is cut with ``localCheckpoint`` every ``cut_every`` iterations so
+long runs keep constant-size plans. In fixed-iteration mode (tol=0) the
+iterations BETWEEN cuts chain lazily into one Spark job: iteration k+1's
+state side arrives already hash-partitioned on vid from iteration k's
+contribution groupBy, so the chained job runs exactly one shuffle per
+superstep and skips k-1 of every k state materializations (|V|-row block
+writes) — same shuffles, less memory traffic, fewer driver round-trips.
+Convergence mode (tol>0) needs the per-iteration delta action, so it cuts
+every iteration regardless.
 """
 
 from __future__ import annotations
@@ -64,6 +71,7 @@ def pagerank(
     checkpoint_every: int = 5,
     checkpoint=None,
     prepared: tuple[DataFrame, DataFrame, int] | None = None,
+    cut_every: int = 1,
 ) -> tuple[DataFrame, int]:
     """Returns ((vid, rank) DataFrame over all nv vertices, iterations run).
 
@@ -73,6 +81,10 @@ def pagerank(
     ``prepared`` is an optional ``pagerank_prepare(edges)`` result — pass
     it when running repeated/iterative workloads so the rank-independent
     static sides (one full edge shuffle) are built once, not per call.
+    ``cut_every`` (fixed-iteration mode only): chain this many supersteps
+    lazily per lineage cut — one Spark job per batch instead of one per
+    iteration, bit-identical results (the chained plan runs the identical
+    per-iteration shuffles). Durable-checkpoint boundaries force a cut.
     """
     # the transition factor is rank-independent: precomputed, hash-pre-
     # partitioned on the per-iteration join key so EVERY superstep reuses
@@ -118,6 +130,7 @@ def pagerank(
             # as `vertices`) and carry the old rank through the checkpoint:
             # the convergence delta then reads the already-materialized
             # data — no second shuffle join per iteration
+            boundary = True
             new_state = (
                 ranks.select("vid", F.col("rank").alias("prev"))
                 .join(contrib, "vid", "left")
@@ -129,12 +142,19 @@ def pagerank(
             # only through contrib, so join onto the PINNED static vertex
             # table — contrib comes out of its groupBy already hash-
             # partitioned on vid, the pinned side never moves, and the
-            # superstep's only state shuffle is the rank distribution join
-            new_state = (
-                vertices.join(contrib, "vid", "left")
-                .select("vid", rank_expr)
-                .transform(cut_lineage)
+            # superstep's only state shuffle is the rank distribution join.
+            # Between cut boundaries the plan chains lazily: the un-cut
+            # state keeps its HashPartitioning(vid), so the next
+            # iteration's trans(src)⋈state(vid) join needs NO state-side
+            # exchange at all — the batch job is one shuffle per superstep.
+            boundary = (
+                (it + 1 - start_iter) % max(1, cut_every) == 0
+                or it + 1 == max_iter
+                or (checkpoint is not None and (it + 1) % checkpoint_every == 0)
             )
+            new_state = vertices.join(contrib, "vid", "left").select("vid", rank_expr)
+            if boundary:
+                new_state = new_state.transform(cut_lineage)
         new_r_d = (1.0 - alpha) / nv + alpha * (dmass / nv)
 
         if tol > 0.0:
@@ -145,15 +165,18 @@ def pagerank(
             delta = max(delta, abs(new_r_d - r_d))
         else:
             # fixed-iteration mode: no convergence action per superstep —
-            # the localCheckpoint inside cut_lineage already materialized
-            # new_state, so the loop stays one job per iteration
+            # the only actions are the cut_every-boundary materializations,
+            # so the loop runs one job per cut_every supersteps
             delta = float("inf")
         # the old state is dead once new_state is materialized and delta
         # collected — free its checkpoint blocks NOW instead of waiting on
         # the GC-driven ContextCleaner (which falls behind and OOMs long
-        # iterative runs)
-        release(state_ck)
-        state_ck = new_state
+        # iterative runs). Between chained-batch boundaries new_state is a
+        # lazy plan still reading state_ck's blocks, so only swap/release
+        # at a cut.
+        if tol > 0.0 or boundary:
+            release(state_ck)
+            state_ck = new_state
         ranks = new_state.select("vid", "rank")
         r_d = new_r_d
         if checkpoint is not None and (it + 1) % checkpoint_every == 0:

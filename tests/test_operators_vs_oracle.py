@@ -74,6 +74,23 @@ def test_pagerank_path_closed_form(spark):
     assert np.allclose(ranks, [0.5, 0.5], atol=1e-9)
 
 
+@pytest.mark.parametrize("name", ["karate", "two_cliques_bridge"])
+def test_pagerank_chained_batches_bit_identical(spark, name):
+    # cut_every>1 chains supersteps lazily into one job per batch; the
+    # chained plan runs the identical per-iteration float64 expressions,
+    # so fixed-iteration results must be BIT-identical, including a batch
+    # size that does not divide max_iter (7 = 3+3+1)
+    edges, nv = fx.ALL_FIXTURES[name]()
+    df = fx.to_spark_edges(spark, edges)
+    base, _ = pagerank(spark, df, nv, tol=0.0, max_iter=7, cut_every=1)
+    want = {r["vid"]: r["rank"] for r in base.collect()}
+    for ce in (3, 7, 100):
+        got_df, iters = pagerank(spark, df, nv, tol=0.0, max_iter=7, cut_every=ce)
+        got = {r["vid"]: r["rank"] for r in got_df.collect()}
+        assert iters == 7
+        assert got == want, (name, ce)
+
+
 def test_cc_log_rounds(spark):
     # path of 64 vertices must converge in O(log n) rounds, not O(n)
     edges, nv = fx.path_n(64)
