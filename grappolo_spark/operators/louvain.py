@@ -184,6 +184,7 @@ def _arrow_cogroup_kernel(const: float, raw: bool = False):
     empty = {
         "vid": "int64", "comm": "int64", "sc": "int64",
         "own_w": "float64", "degree": "float64", "self_w": "float64",
+        "_a2t": "float64",
     }
 
     def sweep(cand: "pd.DataFrame", st: "pd.DataFrame") -> "pd.DataFrame":
@@ -237,9 +238,13 @@ def _arrow_cogroup_kernel(const: float, raw: bool = False):
                 final_c = np.where(swap, sc2[wi], wc)
                 u_target[np.searchsorted(svid, wv)] = final_c
 
+        # _a2t = degree·ax_full of the CURRENT community: summed over the
+        # target rows it is Σ_c c_degree² — integer-valued in float64, so
+        # the partial-sum order is irrelevant and the modularity
+        # bookkeeping can ride the target job (no separate state stats)
         return pd.DataFrame(
             {"vid": svid, "comm": u_target, "sc": ssc, "own_w": own,
-             "degree": sdeg, "self_w": sselfw}
+             "degree": sdeg, "self_w": sselfw, "_a2t": sdeg * saxf}
         )
 
     return sweep
@@ -263,7 +268,8 @@ def _sweep_arrow_cogrouped(cand, state, const, nblocks, raw=False):
     s = state.withColumn("block", F.col("vid") % F.lit(nblocks))
     return c.groupBy("block").cogroup(s.groupBy("block")).applyInPandas(
         _arrow_cogroup_kernel(const, raw=raw),
-        "vid long, comm long, sc long, own_w double, degree double, self_w double",
+        "vid long, comm long, sc long, own_w double, degree double,"
+        " self_w double, _a2t double",
     )
 
 
@@ -358,6 +364,7 @@ def louvain_phase(
     hub_salt: int | None = None,
     prepared: tuple[DataFrame, DataFrame, float, DataFrame] | None = None,
     kernel_agg: bool = False,
+    fuse_state: bool = False,
 ) -> PhaseResult:
     """One Louvain phase with exact reference SFP-path semantics.
 
@@ -382,6 +389,17 @@ def louvain_phase(
     exchange. Bit-identical (in-order float64 sums over integer-valued
     weights); wins in the early-sweep regime (candidates ≈ |E|), loses
     map-side combine so prefer the default for long convergence runs.
+
+    ``fuse_state`` (arrow path only): leave the per-sweep state table lazy
+    instead of materializing it between its two consumers (the message
+    join and the cogroup). Measured and REJECTED as the default at 61M
+    edge rows / local[32]: AQE already runs every exchange as its own
+    stage-job, so fusing saves no driver round-trips, while column
+    pruning specializes the two state instances differently and defeats
+    ReuseExchange — the |V|-scale state subtree computes twice
+    (interleaved A/B: 0.38-0.99x pairwise). Kept as an option for
+    storage-constrained clusters where a |V|-row checkpoint write per
+    sweep is the scarcer resource. Bit-identical either way (pytest).
 
     ``hub_salt``: explicit skew handling for hub vertices (the engine twin
     of the reference GPU port's degree-binned execution,
@@ -445,21 +463,19 @@ def louvain_phase(
                 .agg(F.count("*").alias("c_size"),
                      F.sum("degree").alias("c_degree"))
             )
-            # a2_x = Σ_c c_degree² rides the state-materialization job as an
-            # observed metric: Σ_v degree·ax_full ≡ Σ_c c_deg·Σ_{v∈c}deg_v
-            # (exact for the integer-valued weights the engine guarantees) —
-            # one fewer job per sweep than a separate stats aggregation
-            obs_state = Observation()
-            state = cut_lineage(
-                curr2.join(info, "comm").select(
-                    "vid", F.col("comm").alias("sc"), "degree", "self_w",
-                    F.col("c_degree").alias("ax_full"),
-                    F.col("c_size").alias("size_sc"),
-                ).observe(
-                    obs_state,
-                    F.sum(F.col("degree") * F.col("ax_full")).alias("a2_x"),
-                )
+            # a2_x = Σ_c c_degree² (≡ Σ_v degree·ax_full, exact for the
+            # integer-valued weights the engine guarantees) rides the
+            # TARGET job via the kernel's _a2t column, so the state table
+            # needs no observation of its own; the state materialization
+            # exists purely so its two consumers (the message join and
+            # the cogroup) share one computation (see fuse_state above).
+            state = curr2.join(info, "comm").select(
+                "vid", F.col("comm").alias("sc"), "degree", "self_w",
+                F.col("c_degree").alias("ax_full"),
+                F.col("c_size").alias("size_sc"),
             )
+            if not fuse_state:
+                state = cut_lineage(state)
             cdst2 = state.select(
                 F.col("vid").alias("dst"), F.col("sc").alias("comm_dst"),
                 F.col("ax_full").alias("ay"), F.col("size_sc").alias("size_y"),
@@ -492,9 +508,10 @@ def louvain_phase(
                          F.first("ay").alias("ay"),
                          F.first("size_y").alias("size_y"))
                 )
-            # the sweep's own bookkeeping (e_xx, moved) rides the target-
-            # materialization job the same way — the whole superstep is two
-            # jobs: state checkpoint + target checkpoint, zero stats jobs
+            # ALL per-sweep bookkeeping (e_xx, moved, a2_x) rides the
+            # target-materialization job as observed metrics — zero stats
+            # jobs; _a2t is projected off before the checkpoint stores the
+            # state
             obs_target = Observation()
             target = cut_lineage(
                 _apply_sampling(
@@ -509,10 +526,11 @@ def louvain_phase(
                     F.sum(
                         F.when(F.col("comm") != F.col("sc"), 1).otherwise(0)
                     ).alias("moved"),
-                )
+                    F.sum("_a2t").alias("a2_x"),
+                ).select("vid", "comm", "sc", "own_w", "degree", "self_w")
             )
             e_xx = obs_target.get["e_xx"] or 0.0
-            a2_x = obs_state.get["a2_x"] or 0.0
+            a2_x = obs_target.get["a2_x"] or 0.0
             curr_mod = e_xx * const - a2_x * const * const
             trajectory.append(curr_mod)
             moved = obs_target.get["moved"] or 0

@@ -30,13 +30,19 @@ def _collect_c(df, nv):
 
 
 @pytest.mark.parametrize("name", PHASE_FIXTURES)
-@pytest.mark.parametrize("method", ["dataframe", "arrow", "arrow+kernel_agg"])
+@pytest.mark.parametrize(
+    "method", ["dataframe", "arrow", "arrow+kernel_agg", "arrow+fuse"]
+)
 def test_phase_exact(spark, name, method):
     edges, nv = fx.ALL_FIXTURES[name]()
     rows = fx.symmetric_rows(edges)
     df = fx.to_spark_edges(spark, edges)
     exp_c, exp_mod, exp_iters, exp_change, exp_traj = louvain_phase_np(rows, nv)
-    kw = {"kernel_agg": True} if method == "arrow+kernel_agg" else {}
+    kw = {}
+    if method == "arrow+kernel_agg":
+        kw["kernel_agg"] = True
+    elif method == "arrow+fuse":
+        kw["fuse_state"] = True
     res = louvain_phase(spark, df, nv, method=method.split("+")[0], **kw)
     assert _collect_c(res.c, nv) == exp_c, name
     assert res.modularity == exp_mod, name
