@@ -297,7 +297,8 @@ def _q_transcript_pagerank(spark, sf):
     tr = T.transcripts_from_events(spark, sf)
     edges, turns, tools = build_edges(tr)
     nv = turns.count() + tools.count()
-    ranks, _ = pagerank(spark, edges, nv, tol=0.0, max_iter=PAGERANK_ITERS)
+    ranks, _ = pagerank(spark, edges, nv, tol=0.0, max_iter=PAGERANK_ITERS,
+                        cut_every=5)
     return ranks.select("vid", _r6("rank").alias("rank"))
 
 
@@ -563,7 +564,8 @@ PAGERANK_ITERS = 25  # fixed count so the DuckDB recursive-CTE twin runs the
 def _q_pagerank(spark, sf):
     e = T.copurchase_edges(spark, sf)
     nv = T.copurchase_nv(spark, sf)
-    ranks, _ = pagerank(spark, e, nv, tol=0.0, max_iter=PAGERANK_ITERS)
+    ranks, _ = pagerank(spark, e, nv, tol=0.0, max_iter=PAGERANK_ITERS,
+                        cut_every=5)
     return ranks.select("vid", _r6("rank").alias("rank"))
 
 

@@ -101,6 +101,56 @@ def main():
         ("hash aggregate (partial+final)", lambda p: "HashAggregate" in p),
     ])
 
+    # 5. chained PageRank batch: one shuffle per superstep, no state-side
+    # exchange between chained iterations (the un-cut state keeps its
+    # HashPartitioning(vid); the pinned trans side never moves)
+    from grappolo_spark.operators.pagerank import pagerank_prepare
+
+    e5 = T.copurchase_edges(spark, sf)
+    nv5 = T.copurchase_nv(spark, sf)
+    prep5 = pagerank_prepare(e5)
+    k = 4
+    # pagerank() returns the materialized checkpoint, which hides the
+    # batch plan — rebuild the k-iteration lazy chain with the same
+    # operator shape (join → groupBy → left join; the dangling scalar is
+    # a driver constant and does not change the plan) and audit THAT
+    trans5, verts5, n_live5 = prep5
+    st = verts5.select("vid", F.lit(1.0 / nv5).alias("rank"))
+    for _ in range(k):
+        contrib = (
+            trans5.join(st.select("vid", "rank"), trans5.src == st.vid)
+            .select(F.col("dst").alias("vid"), (F.col("factor") * F.col("rank")).alias("c"))
+            .groupBy("vid").agg(F.sum("c").alias("contrib"))
+        )
+        st = verts5.join(contrib, "vid", "left").select(
+            "vid",
+            (F.lit(0.15 / nv5) + F.lit(0.85) * (F.coalesce(F.col("contrib"), F.lit(0.0)))).alias("rank"),
+        )
+    def _shuffle_exchanges_in_initial_plan(p: str) -> int:
+        # Count shuffle Exchange nodes in the compile-time (Initial) plan
+        # tree: that is the plan shape a real cluster at scale runs (AQE's
+        # runtime broadcast replan of the tiny contrib side at sf0.01 is
+        # expected and fine, so BroadcastExchange does not count, nor do
+        # the operator-detail "(N) Exchange" lines repeated below the
+        # tree). The static sides are checkpointed LogicalRDDs (Scan
+        # ExistingRDD), so the ONLY shuffles left are the k contribution
+        # groupBys — the chained state side must contribute zero.
+        tree = p.split("\n\n", 1)[0]
+        section = tree.split("== Initial Plan ==")[-1]
+        return sum(
+            1 for line in section.splitlines()
+            if "Exchange" in line
+            and "BroadcastExchange" not in line
+            and "ReusedExchange" not in line
+        )
+
+    audit("pagerank_chained_batch", st, [
+        (f"exactly {k} shuffles for {k} chained supersteps (state side never exchanges)",
+         lambda p: _shuffle_exchanges_in_initial_plan(p) == k),
+        ("static sides are checkpointed scans", lambda p: "Scan ExistingRDD" in p),
+        ("AQE plan", lambda p: "AdaptiveSparkPlan" in p),
+    ], execute=True)
+
     (REPO / "PLANS.md").write_text(
         "# Physical-plan audit (generated by scripts/plan_audit.py)\n\n"
         + "Checks: "

@@ -400,11 +400,13 @@ above):
   this claim rather than asserting it.
 {amort_md}
 Best steady-state headline observed on this corpus during development:
-**7.90M edges/s/superstep** (``python bench.py``, local[32], idle
-window; PageRank alone 13.6M, Louvain Arrow sweep 5.57M) — vs the
-BASELINE.md anchors of 3.5M (com-orkut) and 8.8M (uk2002), i.e. 2.3x
-the com-orkut anchor and 0.9x the flagship uk2002 anchor. Round 1
-measured 1.09M on the same metric.
+**9.06M edges/s/superstep** (``python bench.py``, local[32], LOADED
+window — host load ~15-29; PageRank alone 16.3M with chained
+supersteps, Louvain Arrow sweep 6.27M) — vs the BASELINE.md anchors of
+3.5M (com-orkut) and 8.8M (uk2002), i.e. 2.6x the com-orkut anchor and
+1.03x the flagship uk2002 anchor. Round 1 measured 1.09M on the same
+metric; the round-2 idle-window best before superstep chaining was
+7.90M.
 
 Reproduce: ``python scripts/scaling_bench.py {n_convs} {repeats} {amort_convs}``.
 """
