@@ -106,8 +106,6 @@ def run_headline(spark, edges, n_rows: int, nv: int, repeats: int = BENCH_REPEAT
 
     pr_prep = pagerank_prepare(edges)
     lv_prep = louvain_prepare(edges)
-    # warm the JVM/codegen/Arrow paths outside the timed section
-    pagerank(spark, edges, nv, tol=0.0, max_iter=1, prepared=pr_prep)
     # fixed-iteration PageRank chains all PAGERANK_ITERS supersteps into
     # one job (cut_every = the durable-checkpoint interval): identical
     # per-superstep shuffles, ~4x fewer driver round-trips + state
@@ -115,7 +113,15 @@ def run_headline(spark, edges, n_rows: int, nv: int, repeats: int = BENCH_REPEAT
     # gated). Measured 3.8x at local[32] where per-superstep localCheckpoint
     # writes contend on the block manager.
     pr_cut = PAGERANK_ITERS
-    louvain_phase(spark, edges, nv, max_inner=1, method="arrow",
+    # warm the JVM/codegen/Arrow paths outside the timed section with ONE
+    # untimed rep of the EXACT timed workload: the chained 5-superstep
+    # PageRank plan and the sweep plan both JIT/AQE-specialize on first
+    # run (a 1-iter warm-up compiles a different plan than the chained
+    # one, and the first full rep was measured 2.4x slower than steady
+    # state from codegen + block-manager ramp alone)
+    pagerank(spark, edges, nv, tol=0.0, max_iter=PAGERANK_ITERS,
+             prepared=pr_prep, cut_every=pr_cut)
+    louvain_phase(spark, edges, nv, max_inner=LOUVAIN_INNER, method="arrow",
                   prepared=lv_prep, kernel_agg=KERNEL_AGG)
 
     import statistics
