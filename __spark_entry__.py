@@ -557,6 +557,34 @@ def _q_louvain_sweeps_arrow(spark, sf):
     return _louvain_sweeps(spark, sf, "arrow")
 
 
+LOUVAIN_P2_SWEEPS = 3  # phase-2 budget for the two-phase DuckDB twin
+
+
+def _q_louvain_two_phase(spark, sf):
+    """One fixed-budget multi-phase Louvain step under the hard DuckDB
+    gate: phase-1 sweeps -> first-occurrence renumber -> community-
+    aggregation coarsen -> phase-2 sweeps on the coarse graph -> renumber
+    -> project C_orig[v] = C2[C1[v]] — exactly the ``louvain`` driver's
+    per-phase chain (``runMultiPhaseBasic.cpp:66-204``,
+    ``buildNextPhase.cpp:48-79,145-236``) with both sweep budgets pinned
+    so the twin (``oracle/louvain_sql.louvain_two_phase_sql``) unrolls the
+    same chain. Closes the gap the fixed-sweep queries left: the
+    coarsen+renumber+projection composition was previously pytest-only
+    (validated vs the numpy oracle in test_louvain_two_phase_twin.py)."""
+    from grappolo_spark.operators.louvain import coarsen, louvain_phase, renumber
+
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    p1 = louvain_phase(spark, e, nv, max_inner=LOUVAIN_SWEEPS)
+    verts = e.select(F.col("src").alias("vid")).distinct()
+    c1, ncomm = renumber(p1.c.join(verts, "vid").select("vid", "comm"))
+    e2 = coarsen(e, c1)
+    p2 = louvain_phase(spark, e2, ncomm, max_inner=LOUVAIN_P2_SWEEPS)
+    c2, _ = renumber(p2.c)
+    proj = c2.select(F.col("vid").alias("comm"), F.col("comm").alias("comm2"))
+    return c1.join(proj, "comm").select("vid", F.col("comm2").alias("comm"))
+
+
 PAGERANK_ITERS = 25  # fixed count so the DuckDB recursive-CTE twin runs the
                      # exact same number of supersteps (no data-dependent exit)
 
@@ -860,6 +888,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BOTH execution paths (shared unrolled SQL twin)
         "louvain_sweeps": _q_louvain_sweeps,
         "louvain_sweeps_arrow": _q_louvain_sweeps_arrow,
+        # fixed-budget multi-phase step (sweeps -> renumber -> coarsen ->
+        # sweeps -> project) — DuckDB-green gate on the phase-chaining
+        # mechanism itself
+        "louvain_two_phase": _q_louvain_two_phase,
         "louvain_colored": _q_louvain_colored,
         "graph_coloring": _q_coloring,
         "coloring_maxmin": _q_coloring_maxmin,
@@ -1206,6 +1238,14 @@ def oracle_sql() -> dict[str, str]:
     """
     # the Arrow path is the same math (pytest-gated bit-identical); one twin
     sql["louvain_sweeps_arrow"] = sql["louvain_sweeps"]
+
+    from grappolo_spark.oracle.louvain_sql import louvain_two_phase_sql
+
+    _tp_ctes, _tp_final = louvain_two_phase_sql(LOUVAIN_SWEEPS, LOUVAIN_P2_SWEEPS)
+    sql["louvain_two_phase"] = f"""
+        WITH {_EDGES},{_tp_ctes}
+        SELECT vid, comm FROM {_tp_final}
+    """
 
     from grappolo_spark.oracle.louvain_sql import directed_sweeps_sql
 

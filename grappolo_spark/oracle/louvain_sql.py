@@ -32,103 +32,160 @@ and no final SELECT — append ``SELECT vid, comm FROM lv_s{k-1}``.
 from __future__ import annotations
 
 
-def _init_cte() -> str:
-    return """
-        lv_deg AS MATERIALIZED (SELECT src AS vid, SUM(weight) AS degree FROM edges GROUP BY src),
-        lv_cf AS (SELECT 1.0 / SUM(weight) AS c FROM edges),
-        lv_self AS MATERIALIZED (
-            SELECT src AS vid, SUM(weight) AS self_w FROM edges
+def _init_cte(p: str = "lv", edges: str = "edges") -> str:
+    return f"""
+        {p}_deg AS MATERIALIZED (SELECT src AS vid, SUM(weight) AS degree FROM {edges} GROUP BY src),
+        {p}_cf AS (SELECT 1.0 / SUM(weight) AS c FROM {edges}),
+        {p}_self AS MATERIALIZED (
+            SELECT src AS vid, SUM(weight) AS self_w FROM {edges}
             WHERE src = dst GROUP BY src
         ),
-        lv_g0 AS (
+        {p}_g0 AS (
             SELECT e.src, e.dst,
                    (2.0 * (e.weight - 0.0))
-                   - (2.0 * d1.degree * (d2.degree - 0.0) * (SELECT c FROM lv_cf)) AS gain
-            FROM edges e
-            JOIN lv_deg d1 ON e.src = d1.vid
-            JOIN lv_deg d2 ON e.dst = d2.vid
+                   - (2.0 * d1.degree * (d2.degree - 0.0) * (SELECT c FROM {p}_cf)) AS gain
+            FROM {edges} e
+            JOIN {p}_deg d1 ON e.src = d1.vid
+            JOIN {p}_deg d2 ON e.dst = d2.vid
             WHERE e.src <> e.dst
         ),
-        lv_b0 AS (
+        {p}_b0 AS (
             SELECT src, dst AS best FROM (
                 SELECT src, dst,
                        ROW_NUMBER() OVER (PARTITION BY src
                                           ORDER BY gain DESC, dst ASC) AS rn
-                FROM lv_g0 WHERE gain > 0
+                FROM {p}_g0 WHERE gain > 0
             ) WHERE rn = 1
         ),
-        lv_s0 AS MATERIALIZED (
+        {p}_s0 AS MATERIALIZED (
             SELECT v.vid,
                    CAST(CASE WHEN b.best IS NOT NULL AND b.best < v.vid
                              THEN b.best ELSE v.vid END AS BIGINT) AS comm
-            FROM lv_deg v LEFT JOIN lv_b0 b ON b.src = v.vid
+            FROM {p}_deg v LEFT JOIN {p}_b0 b ON b.src = v.vid
         )"""
 
 
-def _sweep_cte(i: int) -> str:
-    """One full sweep: state ``lv_s{i-1}`` -> ``lv_s{i}``.
+def _sweep_cte(i: int, p: str = "lv", edges: str = "edges") -> str:
+    """One full sweep: state ``{p}_s{i-1}`` -> ``{p}_s{i}``.
 
     Mirrors the engine sweep 1:1 (``operators/louvain.py:486-586``):
     community info off the current assignment, per-(vertex, neighbour
     community) weights, reference gain, max-gain/min-cid argmax, and the
     singleton swap protection (``utilityClusteringFunctions.cpp:757-759``).
     """
-    p = f"lv_s{i - 1}"
+    s = f"{p}_s{i - 1}"
     return f"""
-        lv_info{i} AS MATERIALIZED (
+        {p}_info{i} AS MATERIALIZED (
             SELECT s.comm, COUNT(*) AS c_size, SUM(d.degree) AS c_degree
-            FROM {p} s JOIN lv_deg d USING (vid) GROUP BY s.comm
+            FROM {s} s JOIN {p}_deg d USING (vid) GROUP BY s.comm
         ),
-        lv_cand{i} AS MATERIALIZED (
+        {p}_cand{i} AS MATERIALIZED (
             SELECT e.src, sd.comm AS comm_dst, SUM(e.weight) AS eiy
-            FROM edges e JOIN {p} sd ON e.dst = sd.vid
+            FROM {edges} e JOIN {s} sd ON e.dst = sd.vid
             GROUP BY e.src, sd.comm
         ),
-        lv_base{i} AS MATERIALIZED (
+        {p}_base{i} AS MATERIALIZED (
             SELECT s.vid, s.comm AS sc, d.degree, i.c_size AS size_sc,
                    COALESCE(c.eiy, 0.0) - COALESCE(sw.self_w, 0.0) AS eix,
                    i.c_degree - d.degree AS ax
-            FROM {p} s
-            JOIN lv_deg d USING (vid)
-            JOIN lv_info{i} i ON i.comm = s.comm
-            LEFT JOIN lv_cand{i} c ON c.src = s.vid AND c.comm_dst = s.comm
-            LEFT JOIN lv_self sw ON sw.vid = s.vid
+            FROM {s} s
+            JOIN {p}_deg d USING (vid)
+            JOIN {p}_info{i} i ON i.comm = s.comm
+            LEFT JOIN {p}_cand{i} c ON c.src = s.vid AND c.comm_dst = s.comm
+            LEFT JOIN {p}_self sw ON sw.vid = s.vid
         ),
-        lv_scored{i} AS (
+        {p}_scored{i} AS (
             SELECT b.vid, b.sc, c.comm_dst, b.size_sc, iy.c_size AS size_y,
                    (2.0 * (c.eiy - b.eix))
                    - (2.0 * b.degree * (iy.c_degree - b.ax)
-                      * (SELECT cf.c FROM lv_cf cf)) AS gain
-            FROM lv_cand{i} c
-            JOIN lv_base{i} b ON b.vid = c.src
-            JOIN lv_info{i} iy ON iy.comm = c.comm_dst
+                      * (SELECT cf.c FROM {p}_cf cf)) AS gain
+            FROM {p}_cand{i} c
+            JOIN {p}_base{i} b ON b.vid = c.src
+            JOIN {p}_info{i} iy ON iy.comm = c.comm_dst
             WHERE c.comm_dst <> b.sc
         ),
-        lv_best{i} AS (
+        {p}_best{i} AS (
             SELECT vid, cand_comm, cand_size FROM (
                 SELECT vid, comm_dst AS cand_comm, size_y AS cand_size,
                        ROW_NUMBER() OVER (PARTITION BY vid
                                           ORDER BY gain DESC, comm_dst ASC) AS rn
-                FROM lv_scored{i} WHERE gain > 0
+                FROM {p}_scored{i} WHERE gain > 0
             ) WHERE rn = 1
         ),
-        lv_s{i} AS MATERIALIZED (
+        {p}_s{i} AS MATERIALIZED (
             SELECT b.vid,
                    CAST(CASE WHEN t.cand_comm IS NULL THEN b.sc
                              WHEN t.cand_size = 1 AND b.size_sc = 1
                                   AND t.cand_comm > b.sc THEN b.sc
                              ELSE t.cand_comm END AS BIGINT) AS comm
-            FROM lv_base{i} b LEFT JOIN lv_best{i} t ON t.vid = b.vid
+            FROM {p}_base{i} b LEFT JOIN {p}_best{i} t ON t.vid = b.vid
         )"""
 
 
-def louvain_sweeps_sql(k: int) -> tuple[str, str]:
-    """Returns (cte_block, final_state_name) for ``max_inner=k``."""
+def louvain_sweeps_sql(k: int, prefix: str = "lv",
+                       edges: str = "edges") -> tuple[str, str]:
+    """Returns (cte_block, final_state_name) for ``max_inner=k``.
+
+    ``prefix``/``edges`` let two independent phase chains coexist in one
+    statement (see ``louvain_two_phase_sql``)."""
     if k < 1:
         raise ValueError("k >= 1")
-    parts = [_init_cte()]
-    parts += [_sweep_cte(i) for i in range(1, k)]
-    return ",".join(parts), f"lv_s{k - 1}"
+    parts = [_init_cte(prefix, edges)]
+    parts += [_sweep_cte(i, prefix, edges) for i in range(1, k)]
+    return ",".join(parts), f"{prefix}_s{k - 1}"
+
+
+def _renumber_cte(state: str, out: str) -> str:
+    """First-occurrence (= min-vid) dense renumber of ``state(vid, comm)``
+    -> ``{out}_map(comm, new_comm)`` + ``{out}(vid, comm)`` — the SQL twin
+    of ``operators.louvain.renumber`` (ref W1, ``buildNextPhase.cpp:
+    48-79``). ROW_NUMBER over the per-community MIN(vid) equals the
+    engine's dense_rank because first_vid is unique per community."""
+    return f"""
+        {out}_map AS (
+            SELECT comm, ROW_NUMBER() OVER (ORDER BY first_vid) - 1 AS new_comm
+            FROM (SELECT comm, MIN(vid) AS first_vid FROM {state} GROUP BY comm)
+        ),
+        {out} AS MATERIALIZED (
+            SELECT s.vid, CAST(m.new_comm AS BIGINT) AS comm
+            FROM {state} s JOIN {out}_map m USING (comm)
+        )"""
+
+
+def louvain_two_phase_sql(k1: int, k2: int) -> tuple[str, str]:
+    """SQL twin of one fixed-budget multi-phase Louvain step chain
+    (``runMultiPhaseBasic.cpp:66-204`` with both phases' sweep budgets
+    pinned): phase-1 sweeps (``max_inner=k1``) -> first-occurrence
+    renumber -> community-aggregation coarsen (ref C11,
+    ``buildNextPhase.cpp:145-236``) -> phase-2 sweeps on the coarse graph
+    (``max_inner=k2``) -> renumber -> project C_orig[v] = C2[C1[v]]
+    (ref J3, ``runMultiPhaseBasic.cpp:112-124``).
+
+    Exactness carries through the coarsen: coarse weights are sums of the
+    corpus's integer-valued weights, so every phase-2 aggregate is an
+    exact float64 and the shared gain expression stays bit-deterministic.
+    Every phase-1 community appears as a src in the coarse table (each
+    member has an edge row, which coarsens to a row with that community
+    as src), so the projection join is total. Requires an
+    ``edges(src, dst, weight)`` CTE in scope; returns
+    (cte_block, final_name) with final columns (vid, comm).
+    """
+    c1, f1 = louvain_sweeps_sql(k1)
+    bridge = _renumber_cte(f1, "tp_c1") + f""",
+        tp_edges2 AS MATERIALIZED (
+            SELECT cs.comm AS src, cd.comm AS dst, SUM(e.weight) AS weight
+            FROM edges e
+            JOIN tp_c1 cs ON e.src = cs.vid
+            JOIN tp_c1 cd ON e.dst = cd.vid
+            GROUP BY cs.comm, cd.comm
+        )"""
+    c2, f2 = louvain_sweeps_sql(k2, prefix="l2", edges="tp_edges2")
+    final = _renumber_cte(f2, "tp_c2") + """,
+        tp_out AS (
+            SELECT c.vid, r.comm
+            FROM tp_c1 c JOIN tp_c2 r ON r.vid = c.comm
+        )"""
+    return ",".join([c1, bridge, c2, final]), "tp_out"
 
 
 # ---------------------------------------------------------------------------
