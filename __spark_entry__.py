@@ -359,6 +359,24 @@ def _q_ngram_jaccard(spark, sf):
     return pairs.select("doc_a", "doc_b", _r6("jaccard").alias("jaccard"))
 
 
+def _q_documents_clean(spark, sf):
+    """Flagship end-to-end training-data cleaning: quality/lang gate →
+    exact dedup (md5 canonical) → near-dup removal (LSH → verified-pair
+    components, canonical only). The DuckDB twin replays the identical
+    composition, so the driver hash-gates the whole pipeline, not just
+    its stages."""
+    return TX.clean_corpus(spark, T.table(spark, sf, "documents"))
+
+
+def _q_dedup_near_clusters(spark, sf):
+    """End-to-end near-dup removal: LSH candidates → Jaccard verify →
+    connected components over the verified-pair graph → canonical
+    doc per cluster. One row per document; filter(~is_dup) IS the
+    deduplicated corpus. DuckDB twin closes the whole composition with
+    a recursive-CTE component step over the same verified pairs."""
+    return TX.near_dup_clusters(spark, T.table(spark, sf, "documents"), threshold=0.5)
+
+
 # --- training-data pipeline: embeddings ------------------------------------
 
 def _q_embed_topk(spark, sf):
@@ -865,6 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_sigs,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dedup_near_clusters": _q_dedup_near_clusters,
+        "documents_clean": _q_documents_clean,
         # training-data pipeline: embeddings
         "embed_cosine_topk": _q_embed_topk,
         "embed_centroids": _q_embed_centroids,
@@ -1706,6 +1726,146 @@ def oracle_sql() -> dict[str, str]:
         JOIN cnt ca ON com.doc_a = ca.doc_id
         JOIN cnt cb ON com.doc_b = cb.doc_id
         WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+    """
+
+    # whole near-dup-removal composition: verified pairs (same CTEs as
+    # ngram_jaccard_pairs) -> recursive-CTE connected components -> min
+    # doc_id per component; docs in no pair are their own canonical
+    sql["dedup_near_clusters"] = f"""
+        WITH RECURSIVE {_TOKS}, {_SHINGLES}, {_SIGS},
+        bands AS (
+            SELECT doc_id, 0 AS band, md5(sig_0 || '#' || sig_1) AS bh FROM sigs
+            UNION ALL SELECT doc_id, 1, md5(sig_2 || '#' || sig_3) FROM sigs
+            UNION ALL SELECT doc_id, 2, md5(sig_4 || '#' || sig_5) FROM sigs
+            UNION ALL SELECT doc_id, 3, md5(sig_6 || '#' || sig_7) FROM sigs
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+            WHERE a.doc_id < b.doc_id
+        ),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        com AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+            FROM cands c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        ),
+        dpairs AS (
+            SELECT doc_a, doc_b FROM com
+            JOIN cnt ca ON com.doc_a = ca.doc_id
+            JOIN cnt cb ON com.doc_b = cb.doc_id
+            WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+        ),
+        dsym AS (
+            SELECT doc_a AS s, doc_b AS d FROM dpairs
+            UNION ALL SELECT doc_b, doc_a FROM dpairs
+        ),
+        reach(v, r) AS (
+            SELECT s, s FROM dsym
+            UNION
+            SELECT e.s, reach.r FROM dsym e JOIN reach ON e.d = reach.v
+        ),
+        comp AS (SELECT v, MIN(r) AS canon FROM reach GROUP BY v)
+        SELECT doc.doc_id,
+               CAST(COALESCE(comp.canon, doc.doc_id) AS BIGINT) AS canonical_id,
+               COALESCE(comp.canon, doc.doc_id) <> doc.doc_id AS is_dup
+        FROM documents doc LEFT JOIN comp ON comp.v = doc.doc_id
+    """
+
+    # flagship cleaning pipeline: the same composition as clean_corpus —
+    # quality/lang gate -> exact dedup -> near-dup removal — replayed over
+    # the SAME surviving doc set (shingles/signatures computed on exact-
+    # dedup survivors only, exactly like the Spark side)
+    sql["documents_clean"] = f"""
+        WITH RECURSIVE {_TOKS},
+        st AS (
+            SELECT doc_id, text,
+                   CAST(len(tok) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(tok) > 0
+                        THEN CAST(len(list_filter(tok, t -> t IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / len(tok)
+                        ELSE 0.0 END AS stop_ratio,
+                   CASE WHEN length(text) > 0
+                        THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)
+                        ELSE 0.0 END AS punct_ratio,
+                   tok
+            FROM toks
+        ),
+        gated AS (
+            SELECT doc_id, text, tok, n_tokens,
+                   stop_ratio * 0.4 + LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + (1.0 - punct_ratio) * 0.2 AS quality
+            FROM st
+            WHERE (CASE WHEN stop_ratio > 0.03 THEN 'en' ELSE 'und' END) = 'en'
+              AND n_tokens >= 20
+              AND ROUND(stop_ratio * 0.4 + LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                        + (1.0 - punct_ratio) * 0.2, 6) >= 0.35
+        ),
+        exact AS (
+            SELECT * FROM (
+                SELECT g.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon_exact
+                FROM gated g
+            ) WHERE doc_id = canon_exact
+        ),
+        ksh AS (
+            SELECT doc_id, UNNEST(
+                list_distinct(
+                    CASE WHEN len(tok) >= 3
+                         THEN list_transform(range(1, len(tok) - 1),
+                                             i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+                         ELSE [array_to_string(tok, ' ')]
+                    END
+                )
+            ) AS shingle
+            FROM exact
+        ),
+        ksigs AS (
+            SELECT doc_id,
+                   MIN(md5('0|' || shingle)) AS sig_0, MIN(md5('1|' || shingle)) AS sig_1,
+                   MIN(md5('2|' || shingle)) AS sig_2, MIN(md5('3|' || shingle)) AS sig_3,
+                   MIN(md5('4|' || shingle)) AS sig_4, MIN(md5('5|' || shingle)) AS sig_5,
+                   MIN(md5('6|' || shingle)) AS sig_6, MIN(md5('7|' || shingle)) AS sig_7
+            FROM ksh GROUP BY doc_id
+        ),
+        kbands AS (
+            SELECT doc_id, 0 AS band, md5(sig_0 || '#' || sig_1) AS bh FROM ksigs
+            UNION ALL SELECT doc_id, 1, md5(sig_2 || '#' || sig_3) FROM ksigs
+            UNION ALL SELECT doc_id, 2, md5(sig_4 || '#' || sig_5) FROM ksigs
+            UNION ALL SELECT doc_id, 3, md5(sig_6 || '#' || sig_7) FROM ksigs
+        ),
+        kcands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM kbands a JOIN kbands b ON a.band = b.band AND a.bh = b.bh
+            WHERE a.doc_id < b.doc_id
+        ),
+        kcnt AS (SELECT doc_id, COUNT(*) AS n FROM ksh GROUP BY doc_id),
+        kcom AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+            FROM kcands c
+            JOIN ksh a ON a.doc_id = c.doc_a
+            JOIN ksh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        ),
+        kpairs AS (
+            SELECT doc_a, doc_b FROM kcom
+            JOIN kcnt ca ON kcom.doc_a = ca.doc_id
+            JOIN kcnt cb ON kcom.doc_b = cb.doc_id
+            WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+        ),
+        ksym AS (
+            SELECT doc_a AS s, doc_b AS d FROM kpairs
+            UNION ALL SELECT doc_b, doc_a FROM kpairs
+        ),
+        kreach(v, r) AS (
+            SELECT s, s FROM ksym
+            UNION
+            SELECT e.s, kreach.r FROM ksym e JOIN kreach ON e.d = kreach.v
+        ),
+        kcomp AS (SELECT v, MIN(r) AS canon FROM kreach GROUP BY v)
+        SELECT x.doc_id, x.n_tokens, ROUND(x.quality, 6) AS quality
+        FROM exact x LEFT JOIN kcomp ON kcomp.v = x.doc_id
+        WHERE COALESCE(kcomp.canon, x.doc_id) = x.doc_id
     """
 
     # metadata recomputed from the synthesis-parameter rules shared with

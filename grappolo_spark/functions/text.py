@@ -225,6 +225,99 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dup_clusters(
+    spark,
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    max_iter: int = 50,
+) -> DataFrame:
+    """End-to-end near-dup removal: the full production composition
+    shingle → MinHash → banded LSH candidates → exact Jaccard verify on
+    candidates only → connected components over the verified pair graph
+    → canonical = min doc_id per cluster.
+
+    Returns one row per input document: (doc_id, canonical_id, is_dup)
+    with is_dup = true iff the doc is a non-canonical member of a
+    near-dup cluster — i.e. ``filter(~is_dup)`` IS the deduplicated
+    corpus.
+
+    Every stage is the scale path: candidates come from the band-keyed
+    self-grouping (never all-pairs), the verifier probes only candidate
+    pairs, and the component step runs min-label propagation with
+    pointer jumping over the (tiny) verified-pair graph — no stage is
+    ever quadratic in corpus size, so the composition survives 10^10
+    documents.
+    """
+    from ..operators.components import connected_components
+
+    sh = doc_shingles(docs, text_col, k)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, bands)
+    pairs = ngram_jaccard_pairs(sh, threshold=threshold, restrict_pairs=cands)
+    sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    verts = sym.select(F.col("src").alias("vid"))
+    labels, _ = connected_components(
+        spark, sym, nv=0, max_iter=max_iter, vertices=verts
+    )
+    canon = labels.select(F.col("vid").alias("doc_id"), F.col("component").alias("_canon"))
+    return docs.select("doc_id").join(canon, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("_canon"), F.col("doc_id")).alias("canonical_id"),
+        (F.coalesce(F.col("_canon"), F.col("doc_id")) != F.col("doc_id")).alias("is_dup"),
+    )
+
+
+def clean_corpus(
+    spark,
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_quality: float = 0.35,
+    lang: str = "en",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Flagship training-data cleaning pipeline — the composition a real
+    corpus build runs end-to-end:
+
+    1. **quality/lang gate**: token stats + heuristic language id
+       (``with_token_stats``); keep ``pred_lang == lang``,
+       ``n_tokens >= min_tokens``, ``round(quality, 6) >= min_quality``
+       (the 6-dp round keeps the float threshold comparison identical
+       across engines).
+    2. **exact dedup**: one doc per ``md5(text)`` group (min doc_id
+       canonical) — a single window shuffle keyed on the text hash.
+    3. **near-dup removal**: ``near_dup_clusters`` over the exact-dedup
+       survivors (MinHash-LSH candidates → verified-pair components);
+       keep cluster canonicals only.
+
+    Returns surviving (doc_id, n_tokens, quality). Every stage is the
+    scale path: the gate is pure codegen, both dedup stages shuffle on
+    bounded keys (text hash / band hash), nothing is quadratic.
+    """
+    from pyspark.sql import Window
+
+    st = with_token_stats(docs, text_col)
+    kept = st.filter(
+        (F.col("pred_lang") == lang)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.round(F.col("quality"), 6) >= min_quality)
+    )
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    exact = kept.withColumn("_canon_exact", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("_canon_exact")
+    )
+    ndc = near_dup_clusters(spark, exact, text_col=text_col, threshold=threshold)
+    return (
+        exact.join(ndc.filter(~F.col("is_dup")).select("doc_id"), "doc_id")
+        .select("doc_id", "n_tokens", F.round("quality", 6).alias("quality"))
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 60) -> DataFrame:
     """SimHash fingerprint from token md5 bits (first ``bits`` bits ≤ 60 so
     the result stays a non-negative bigint).

@@ -27,10 +27,22 @@ def connected_components(
     nv: int,
     max_iter: int = 50,
     checkpoint=None,
+    vertices: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
-    """Returns ((vid, component) DataFrame, rounds run)."""
+    """Returns ((vid, component) DataFrame, rounds run).
+
+    ``vertices``: optional one-column DataFrame of vertex ids for
+    non-dense id spaces (e.g. document ids in the near-dup cluster
+    graph); when given it replaces the dense ``range(nv)`` seed and
+    ``nv`` is ignored."""
     e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst").transform(cut_lineage)
-    labels = spark.range(nv).select(F.col("id").alias("vid"), F.col("id").alias("comp"))
+    if vertices is not None:
+        vid0 = F.col(vertices.columns[0]).alias("vid")
+        labels = vertices.select(vid0).distinct().select(
+            "vid", F.col("vid").alias("comp")
+        )
+    else:
+        labels = spark.range(nv).select(F.col("id").alias("vid"), F.col("id").alias("comp"))
 
     start_iter = 0
     if checkpoint is not None:
