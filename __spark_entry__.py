@@ -359,6 +359,28 @@ def _q_ngram_jaccard(spark, sf):
     return pairs.select("doc_a", "doc_b", _r6("jaccard").alias("jaccard"))
 
 
+SPLIT_FRACTIONS = (("train", 0.90), ("valid", 0.05), ("test", 0.05))
+
+
+def _q_hash_split(spark, sf):
+    """Deterministic md5-hash train/valid/test split — reproducible
+    across runs/engines and stable under doc additions (no re-roll)."""
+    return TX.hash_split(T.table(spark, sf, "documents"), fractions=SPLIT_FRACTIONS)
+
+
+TOKEN_CHUNK = 32
+TOKEN_STRIDE = 24  # overlapping windows so the stride!=chunk path is gated
+
+
+def _q_token_chunks(spark, sf):
+    """Sequence packing: fixed-size overlapping token chunks per doc —
+    map-only (posexplode), zero shuffles at any scale."""
+    return TX.token_chunks(
+        T.table(spark, sf, "documents"),
+        chunk_tokens=TOKEN_CHUNK, stride=TOKEN_STRIDE,
+    )
+
+
 def _q_documents_clean(spark, sf):
     """Flagship end-to-end training-data cleaning: quality/lang gate →
     exact dedup (md5 canonical) → near-dup removal (LSH → verified-pair
@@ -885,6 +907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dedup_near_clusters": _q_dedup_near_clusters,
         "documents_clean": _q_documents_clean,
+        "hash_split": _q_hash_split,
+        "token_chunks": _q_token_chunks,
         # training-data pipeline: embeddings
         "embed_cosine_topk": _q_embed_topk,
         "embed_centroids": _q_embed_centroids,
@@ -1772,6 +1796,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(comp.canon, doc.doc_id) AS BIGINT) AS canonical_id,
                COALESCE(comp.canon, doc.doc_id) <> doc.doc_id AS is_dup
         FROM documents doc LEFT JOIN comp ON comp.v = doc.doc_id
+    """
+
+    # thresholds accumulated with the SAME float additions as hash_split
+    # (0.90 + 0.05 is not the literal 0.95 in IEEE — repr() carries the
+    # exact partial sum into the SQL)
+    _split_case = "CASE "
+    _cum = 0.0
+    for _name, _frac in SPLIT_FRACTIONS[:-1]:
+        _cum += _frac
+        _split_case += f"WHEN u < {_cum!r} THEN '{_name}' "
+    _split_case += f"ELSE '{SPLIT_FRACTIONS[-1][0]}' END"
+    sql["hash_split"] = f"""
+        SELECT doc_id, {_split_case} AS split FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   / 1152921504606846976.0 AS u
+            FROM documents
+        )
+    """
+
+    sql["token_chunks"] = f"""
+        WITH {_TOKS},
+        ch AS (
+            SELECT doc_id, tok,
+                   CASE WHEN len(tok) > {TOKEN_CHUNK}
+                        THEN CAST(floor((len(tok) - {TOKEN_CHUNK} + {TOKEN_STRIDE - 1})
+                                        / {TOKEN_STRIDE}.0) AS BIGINT) + 1
+                        ELSE 1 END AS n_chunks
+            FROM toks
+        ),
+        ex AS (SELECT doc_id, UNNEST(range(0, n_chunks)) AS chunk_idx, tok FROM ch)
+        SELECT doc_id, chunk_idx,
+               CAST(len(list_slice(tok, chunk_idx * {TOKEN_STRIDE} + 1,
+                                   chunk_idx * {TOKEN_STRIDE} + {TOKEN_CHUNK})) AS BIGINT)
+                   AS n_chunk_tokens,
+               array_to_string(list_slice(tok, chunk_idx * {TOKEN_STRIDE} + 1,
+                                          chunk_idx * {TOKEN_STRIDE} + {TOKEN_CHUNK}), ' ')
+                   AS chunk_text
+        FROM ex
     """
 
     # flagship cleaning pipeline: the same composition as clean_corpus —

@@ -318,6 +318,90 @@ def clean_corpus(
     )
 
 
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.90), ("valid", 0.05), ("test", 0.05),
+    ),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by id hash.
+
+    u = first 60 bits of md5(salt '|' id) as a uniform fraction of 2^60;
+    the split is the first bucket whose cumulative fraction exceeds u.
+    Pure codegen, partition-invariant, stable across runs/engines — the
+    property a reproducible corpus build needs (a random split re-rolls
+    on every retry/backfill; a hash split never does, and doc additions
+    never move existing docs between splits).
+
+    Returns docs' id column + ``split``. DuckDB twin of the hash:
+    ``('0x' || substr(md5(...), 1, 15))::BIGINT / 2^60``.
+    """
+    u = md5_prefix_long(
+        F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))
+    ).cast("double") / F.lit(float(1 << 60))
+    expr = F.lit(fractions[-1][0])
+    cum = 0.0
+    conds = []
+    for name, frac in fractions[:-1]:
+        cum += frac
+        conds.append((name, cum))
+    for name, threshold in reversed(conds):
+        expr = F.when(u < F.lit(threshold), F.lit(name)).otherwise(expr)
+    return docs.select(id_col, expr.alias("split"))
+
+
+def token_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    stride: int | None = None,
+) -> DataFrame:
+    """Sequence packing: split each document's token stream into
+    fixed-size training chunks.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens); the last
+    chunk may be short; a doc shorter than one chunk yields exactly one
+    chunk. ``stride`` defaults to ``chunk_tokens`` (non-overlapping);
+    smaller strides give overlapping context windows.
+
+    Pure codegen (sequence + posexplode + slice): the explode multiplies
+    rows by ~n_tokens/stride with no shuffle at all — chunking 100 TB is
+    a map-only stage.
+
+    Returns (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if stride < 1 or chunk_tokens < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # windows covering every token: ceil((n - chunk)/stride) + 1 for
+    # n > chunk, else exactly one (possibly short) chunk
+    n_chunks = F.when(
+        n > chunk_tokens,
+        F.floor((n - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride)).cast("long")
+        + F.lit(1),
+    ).otherwise(F.lit(1))
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+                lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 60) -> DataFrame:
     """SimHash fingerprint from token md5 bits (first ``bits`` bits ≤ 60 so
     the result stays a non-negative bigint).
