@@ -191,6 +191,10 @@ def main():
             runs[cpus].append(r)
 
     amort: dict[tuple[int, int], list[dict]] = {}
+    # the amortization comparison is always small-corpus vs big-corpus,
+    # regardless of which one is the headline (amort_convs may be smaller
+    # than n_convs when the headline itself runs at the large corpus)
+    lo_convs, hi_convs = sorted((n_convs, amort_convs or n_convs))
     if amort_convs:
         print("materializing amortization corpus ...", flush=True)
         run_at(n_big, amort_convs)
@@ -198,7 +202,7 @@ def main():
         # 8->32 ratio sees the least window drift; multiple cycles so the
         # amortization claim rests on a median, not one noisy pair
         for cycle in range(amort_cycles):
-            for convs in (n_convs, amort_convs):
+            for convs in (lo_convs, hi_convs):
                 for cpus in (n_small, n_big):
                     print(f"amortization leg local[{cpus}] convs={convs} "
                           f"(cycle {cycle + 1}) ...", flush=True)
@@ -235,7 +239,7 @@ def main():
         a_effs: dict[int, list[float]] = {}
         a_med: dict[int, float] = {}
         rows = []
-        for convs in (n_convs, amort_convs):
+        for convs in (lo_convs, hi_convs):
             pairs = list(zip(amort[(n_small, convs)], amort[(n_big, convs)]))
             a_effs[convs] = [
                 (hi["edges_per_sec"] / lo["edges_per_sec"]) / 4.0
@@ -249,9 +253,9 @@ def main():
                     f"| {hi['edges_per_sec']:,.0f} @ {hi['capacity_units']:,.0f} "
                     f"| {a_effs[convs][cyc - 1]:.2f} |"
                 )
-        work_x = amort[(n_small, amort_convs)][0]["edge_rows"] / \
-            amort[(n_small, n_convs)][0]["edge_rows"]
-        n_cyc = len(amort[(n_small, n_convs)])
+        work_x = amort[(n_small, hi_convs)][0]["edge_rows"] / \
+            amort[(n_small, lo_convs)][0]["edge_rows"]
+        n_cyc = len(amort[(n_small, lo_convs)])
         amort_md = f"""
 ## Fixed-cost amortization: efficiency vs per-superstep work
 
@@ -267,10 +271,10 @@ rests on the MEDIAN across cycles, not any single pair):
 {chr(10).join(rows)}
 
 {work_x:.1f}x the edge-work per superstep moves median raw efficiency
-from {a_med[n_convs]:.2f} to {a_med[amort_convs]:.2f}
-(per-cycle: {", ".join(f"{e:.2f}" for e in a_effs[n_convs])} →
-{", ".join(f"{e:.2f}" for e in a_effs[amort_convs])}).
-The north-rule regime (10^12 edges) carries ~{16000 / work_x:,.0f}x more
+from {a_med[lo_convs]:.2f} to {a_med[hi_convs]:.2f}
+(per-cycle: {", ".join(f"{e:.2f}" for e in a_effs[lo_convs])} →
+{", ".join(f"{e:.2f}" for e in a_effs[hi_convs])}).
+The north-rule regime (10^12 edges) carries ~{1e12 / amort[(n_small, hi_convs)][0]["edge_rows"]:,.0f}x more
 work per superstep than even the larger corpus here — the serial term
 that bounds these single-box numbers is gone at that scale, which is the
 measured (not asserted) form of the extrapolation argument above.
@@ -424,7 +428,8 @@ above):
   single-box 4x measurement. The amortization section below MEASURES
   this claim rather than asserting it.
 {amort_md}
-Best steady-state headline observed on this corpus during development:
+Best steady-state headline observed during development (100,000-conv /
+61.3M-edge-row corpus):
 **9.06M edges/s/superstep** (``python bench.py``, local[32]; PageRank
 alone 16.3M with chained supersteps, Louvain Arrow sweep 6.27M) — vs
 the BASELINE.md anchors of 3.5M (com-orkut) and 8.8M (uk2002), i.e.
@@ -438,6 +443,8 @@ chaining was 7.90M.
 Reproduce: ``python scripts/scaling_bench.py {n_convs} {repeats} {amort_convs} {amort_cycles}``.
 """
     # --- cross-window repeatability, generated from the append-only log ---
+    OUT.mkdir(parents=True, exist_ok=True)
+    WINDOWS.parent.mkdir(parents=True, exist_ok=True)
     windows = json.loads(WINDOWS.read_text()) if WINDOWS.exists() else []
     cap8_med = statistics.median(r["capacity_units"] for r in runs[n_small])
     cap32 = sorted(r["capacity_units"] for r in runs[n_big])
@@ -451,10 +458,10 @@ Reproduce: ``python scripts/scaling_bench.py {n_convs} {repeats} {amort_convs} {
         "norm_eff": round(eff_norm, 2),
     }
     if amort:
-        rec["amort_small_eff"] = round(a_med[n_convs], 2)
-        rec["amort_big_eff"] = round(a_med[amort_convs], 2)
-        rec["amort_convs"] = amort_convs
-        rec["amort_cycles"] = len(amort[(n_small, n_convs)])
+        rec["amort_small_eff"] = round(a_med[lo_convs], 2)
+        rec["amort_big_eff"] = round(a_med[hi_convs], 2)
+        rec["amort_convs"] = hi_convs
+        rec["amort_cycles"] = len(amort[(n_small, lo_convs)])
     windows.append(rec)
     WINDOWS.write_text(json.dumps(windows, indent=1))
 
@@ -463,7 +470,8 @@ Reproduce: ``python scripts/scaling_bench.py {n_convs} {repeats} {amort_convs} {
                 else f"{w['cap32_lo']:,}–{w['cap32_hi']:,}")
 
     wrows = "\n".join(
-        f"| {w['label']} | {w['cap8']:,} | {cap32_str(w)} "
+        f"| {w['label']} | {w.get('n_convs', 100000):,} | {w['cap8']:,} "
+        f"| {cap32_str(w)} "
         f"| {(w['cap32_lo'] + w['cap32_hi']) / 2 / w['cap8']:.1f}x "
         f"| {w['raw_eff']:.2f} | **{w['norm_eff']:.2f}** |"
         for w in windows
@@ -479,12 +487,14 @@ Reproduce: ``python scripts/scaling_bench.py {n_convs} {repeats} {amort_convs} {
 
 {len(windows)} complete runs of this exact protocol
 (scripts/bench_windows.json — append-only, every window recorded, none
-selected out) on the same parquet-cached corpus. Between windows the
+selected out); each window's headline corpus size is listed (all are
+the same deterministic seed-42 generator, parquet-cached, every leg of
+a window reading identical bytes). Between windows the
 co-tenant host's offered capacity swings by multiples, which moves the
 raw number with it:
 
-| window | cap units @8 (median leg) | cap units @32 | offered 32/8 | raw 8→32 eff | capacity-normalized eff |
-| --- | --- | --- | --- | --- | --- |
+| window | headline convs | cap units @8 (median leg) | cap units @32 | offered 32/8 | raw 8→32 eff | capacity-normalized eff |
+| --- | --- | --- | --- | --- | --- | --- |
 {wrows}
 
 Raw efficiency spans {min(raws):.2f}–{max(raws):.2f} and tracks what
