@@ -359,6 +359,40 @@ def _q_ngram_jaccard(spark, sf):
     return pairs.select("doc_a", "doc_b", _r6("jaccard").alias("jaccard"))
 
 
+EVAL_MOD = 50  # deterministic eval-benchmark split: doc_id % EVAL_MOD == 0
+
+
+def _q_repetition_stats(spark, sf):
+    """Intra-doc n-gram repetition ratio (quality filter signal) — pure
+    codegen column math, map-only."""
+    out = TX.repetition_stats(T.table(spark, sf, "documents"))
+    return out.select(
+        "doc_id", "n_grams", "n_distinct", _r6("rep_ratio").alias("rep_ratio")
+    )
+
+
+def _eval_train_split(spark, sf):
+    docs = T.table(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return tr, ev
+
+
+def _q_contamination_hits(spark, sf):
+    """Benchmark decontamination scan: per train doc, eval docs / distinct
+    shingles it collides with (broadcast eval side — zero shuffle of the
+    train shingles beyond the per-doc agg)."""
+    tr, ev = _eval_train_split(spark, sf)
+    return TX.contamination_hits(tr, ev)
+
+
+def _q_documents_decontaminated(spark, sf):
+    """The decontamination pass itself: train docs sharing no 3-gram
+    shingle with the eval set (left-anti join on the hits)."""
+    tr, ev = _eval_train_split(spark, sf)
+    return TX.decontaminate(tr, ev).select("doc_id")
+
+
 SPLIT_FRACTIONS = (("train", 0.90), ("valid", 0.05), ("test", 0.05))
 
 
@@ -637,6 +671,25 @@ def _q_pagerank(spark, sf):
     return ranks.select("vid", _r6("rank").alias("rank"))
 
 
+PPR_ITERS = 10
+
+
+def _q_personalized_pagerank(spark, sf):
+    """Seed-personalized PageRank (reset uniform over live vids % 100 == 0)
+    — fixed 10 supersteps chained 5-per-job, twin: recursive CTE."""
+    from grappolo_spark.operators.pagerank import personalized_pagerank
+
+    e = T.copurchase_edges(spark, sf)
+    nv = T.copurchase_nv(spark, sf)
+    seeds = spark.range(nv).filter(F.col("id") % 100 == 0).select(
+        F.col("id").alias("vid")
+    )
+    ranks, _ = personalized_pagerank(
+        spark, e, nv, seeds, max_iter=PPR_ITERS, cut_every=5
+    )
+    return ranks.select("vid", _r6("rank").alias("rank"))
+
+
 def _q_louvain(spark, sf):
     e = T.copurchase_edges(spark, sf)
     nv = T.copurchase_nv(spark, sf)
@@ -905,6 +958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_sigs,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "repetition_stats": _q_repetition_stats,
+        "contamination_hits": _q_contamination_hits,
+        "documents_decontaminated": _q_documents_decontaminated,
         "dedup_near_clusters": _q_dedup_near_clusters,
         "documents_clean": _q_documents_clean,
         "hash_split": _q_hash_split,
@@ -926,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near_pairs,
         # iterative graph algorithms — rows-only (pytest exactness gate)
         "pagerank": _q_pagerank,
+        "personalized_pagerank": _q_personalized_pagerank,
         "louvain_communities": _q_louvain,
         "louvain_arrow": _q_louvain_arrow,
         # bounded sweep chain — DuckDB-green gate on the sweep kernel in
@@ -1357,6 +1414,47 @@ def oracle_sql() -> dict[str, str]:
         )
     )
 
+    # personalized PageRank twin (operators/pagerank.py:
+    # personalized_pagerank): reset uniform over LIVE vids % 100 = 0; no
+    # dangling term exists on the symmetric edge table (isolated vertices
+    # hold exactly 0.0), so the recurrence is pure
+    # r' = 0.15·p + 0.85·Mᵀr over live vertices.
+    sql["personalized_pagerank"] = f"""
+        WITH RECURSIVE {_EDGES},
+        pdeg AS (SELECT src, SUM(weight) AS wdeg FROM edges GROUP BY src),
+        ptrans AS MATERIALIZED (
+            SELECT e.src, e.dst, e.weight / d.wdeg AS factor
+            FROM edges e JOIN pdeg d USING (src)
+        ),
+        pverts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM edges),
+        pn AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM pverts WHERE vid % 100 = 0
+        ),
+        ppr(it, vid, rank) AS (
+            SELECT 0, v.vid,
+                   CASE WHEN v.vid % 100 = 0 THEN 1.0 / pn.ns ELSE 0.0 END
+            FROM pverts v, pn
+            UNION ALL
+            SELECT s.it, s.vid,
+                   0.15 * (CASE WHEN s.vid % 100 = 0 THEN 1.0 / pn.ns ELSE 0.0 END)
+                   + 0.85 * COALESCE(s.c, 0.0)
+            FROM (
+                SELECT i.it + 1 AS it, v.vid, c.c
+                FROM pverts v
+                CROSS JOIN (SELECT DISTINCT it FROM ppr) i
+                LEFT JOIN (
+                    SELECT t.dst AS vid, SUM(t.factor * p2.rank) AS c
+                    FROM ppr p2 JOIN ptrans t ON t.src = p2.vid
+                    GROUP BY t.dst
+                ) c ON c.vid = v.vid
+            ) s, pn
+            WHERE s.it <= {PPR_ITERS}
+        )
+        SELECT v.vid, ROUND(COALESCE(f.rank, 0.0), 6) AS rank
+        FROM (SELECT p_partkey AS vid FROM part) v
+        LEFT JOIN (SELECT vid, rank FROM ppr WHERE it = {PPR_ITERS}) f USING (vid)
+    """
+
     sql["label_propagation"] = f"""
         WITH RECURSIVE {_EDGES},
         lnbr AS (SELECT src, dst, weight FROM edges WHERE src <> dst),
@@ -1750,6 +1848,53 @@ def oracle_sql() -> dict[str, str]:
         JOIN cnt ca ON com.doc_a = ca.doc_id
         JOIN cnt cb ON com.doc_b = cb.doc_id
         WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+    """
+
+    # intra-doc repetition: ALL 3-grams (no list_distinct) vs their
+    # distinct count — functions/text.py:ngrams_all/repetition_stats
+    sql["repetition_stats"] = f"""
+        WITH {_TOKS},
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(tok) >= 3
+                        THEN list_transform(range(1, len(tok) - 1),
+                                            i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+                        ELSE [array_to_string(tok, ' ')]
+                   END AS g
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(g) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+               ROUND(CASE WHEN len(g) > 0
+                          THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                          ELSE 0.0 END, 6) AS rep_ratio
+        FROM grams
+    """
+
+    # benchmark decontamination (functions/text.py:contamination_hits):
+    # train docs (doc_id % 50 <> 0) colliding with eval docs (% 50 = 0)
+    # on distinct 3-gram shingles
+    sql["contamination_hits"] = f"""
+        WITH {_TOKS}, {_SHINGLES}
+        SELECT t.doc_id,
+               CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs,
+               CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_shingles
+        FROM sh t JOIN sh e ON e.shingle = t.shingle AND e.doc_id % 50 = 0
+        WHERE t.doc_id % 50 <> 0
+        GROUP BY t.doc_id
+    """
+
+    sql["documents_decontaminated"] = f"""
+        WITH {_TOKS}, {_SHINGLES},
+        hit AS (
+            SELECT DISTINCT t.doc_id
+            FROM sh t JOIN sh e ON e.shingle = t.shingle AND e.doc_id % 50 = 0
+            WHERE t.doc_id % 50 <> 0
+        )
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id % 50 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM hit)
     """
 
     # whole near-dup-removal composition: verified pairs (same CTEs as

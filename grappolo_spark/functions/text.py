@@ -435,6 +435,91 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 60) -> DataFram
     )
 
 
+def ngrams_all(text: Column, k: int = 3) -> Column:
+    """ALL word k-grams (duplicates kept — unlike ``shingles``); texts
+    shorter than k tokens yield the single whole-text gram.
+
+    DuckDB twin: the ``shingles`` list_transform WITHOUT list_distinct.
+    """
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )
+    return F.when(F.size(toks) >= k, grams).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Intra-document n-gram repetition (Gopher-style quality signal):
+    (doc_id, n_grams, n_distinct, rep_ratio = 1 − distinct/total).
+
+    Pure codegen column math — size() over the gram array and its
+    array_distinct; no explode, no shuffle, map-only at any scale.
+    """
+    grams = ngrams_all(F.col(text_col), k)
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        n_grams.cast("long").alias("n_grams"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.when(
+            n_grams > 0,
+            1.0 - n_distinct.cast("double") / n_grams.cast("double"),
+        ).otherwise(F.lit(0.0)).alias("rep_ratio"),
+    )
+
+
+def contamination_hits(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per TRAIN doc, how many eval docs /
+    distinct shingles it collides with on word k-gram shingles.
+
+    Returns (doc_id, n_eval_docs, n_shingles). The eval side is an eval
+    *benchmark* set — tiny relative to a 100 TB corpus — so it is
+    broadcast (map-side hash join against the exploded train shingles:
+    zero shuffle of the big side; the only shuffle is the per-doc agg,
+    keyed on doc_id). Set ``broadcast_eval=False`` for an oversized eval
+    set; the plan degrades to a shuffle hash join on the shingle key.
+    """
+    tr_sh = doc_shingles(train, text_col, k)
+    ev_sh = (
+        doc_shingles(eval_docs, text_col, k)
+        .select(F.col("doc_id").alias("eval_doc_id"), "shingle")
+    )
+    if broadcast_eval:
+        ev_sh = F.broadcast(ev_sh)
+    return (
+        tr_sh.join(ev_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+            F.countDistinct("shingle").alias("n_shingles"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Training rows that share NO word k-gram shingle with the eval set
+    (left-anti join against ``contamination_hits`` doc ids — the standard
+    n-gram-collision decontamination pass of an LLM data pipeline)."""
+    hits = contamination_hits(train, eval_docs, text_col, k, broadcast_eval)
+    return train.join(hits.select("doc_id"), "doc_id", "left_anti")
+
+
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 20) -> DataFrame:
     """SimHash near-dup candidates: bucket by the top ``prefix_bits`` bits
     (hub-bounded shuffle key), verify Hamming distance ≤ max_hamming via

@@ -195,3 +195,81 @@ def pagerank(
             "vid", F.coalesce("rank", F.lit(r_d)).alias("rank")
         )
     return ranks, iters
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    nv: int,
+    seeds: DataFrame,
+    alpha: float = 0.85,
+    max_iter: int = 20,
+    prepared: tuple[DataFrame, DataFrame, int] | None = None,
+    cut_every: int = 1,
+    broadcast_seeds: bool = True,
+) -> tuple[DataFrame, int]:
+    """Personalized PageRank: the reset vector is uniform over ``seeds``
+    instead of uniform over all vertices (seed-relative relevance /
+    TrustRank over the link graph).
+
+    r₀ = p;  r' = (1−α)·p + α·Mᵀr  with p_v = 1/|S∩live| for live seeds,
+    0 otherwise. Defined on the engine's symmetric edge tables, where
+    every vertex with any edge has out-edges — so no dangling mass term
+    exists: vertices outside the live set receive nothing and hold rank
+    exactly 0 (they are returned as 0.0 rows).
+
+    Scale design mirrors ``pagerank``'s fixed-iteration path: the
+    personalization column p rides the PINNED static vertex table (one
+    broadcast seed join at setup — PPR seed sets are small by
+    construction; pass ``broadcast_seeds=False`` otherwise), contrib
+    comes out of its groupBy already hash-partitioned on vid, and
+    ``cut_every`` chains that many supersteps into one job per lineage
+    cut — the per-superstep shuffle is the rank-distribution join alone.
+    """
+    trans, vertices, _n_live = prepared or pagerank_prepare(edges)
+    seed_ids = seeds.select("vid").distinct()
+    if broadcast_seeds:
+        seed_ids = F.broadcast(seed_ids)
+    n_seeds = vertices.join(seed_ids, "vid", "left_semi").count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no live seed vertices")
+    verts_p = (
+        vertices.join(seed_ids.withColumn("_s", F.lit(1)), "vid", "left")
+        .select(
+            "vid",
+            F.when(F.col("_s").isNotNull(), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("p"),
+        )
+        .transform(cut_lineage)
+    )
+
+    ranks = verts_p.select("vid", F.col("p").alias("rank"))
+    state_ck = None
+    iters = 0
+    for it in range(max_iter):
+        iters = it + 1
+        contrib = (
+            trans.join(ranks.select("vid", "rank"), trans.src == ranks.vid)
+            .select(F.col("dst").alias("vid"), (F.col("factor") * F.col("rank")).alias("c"))
+            .groupBy("vid")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_state = verts_p.join(contrib, "vid", "left").select(
+            "vid",
+            (
+                F.lit(1.0 - alpha) * F.col("p")
+                + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        boundary = (it + 1) % max(1, cut_every) == 0 or it + 1 == max_iter
+        if boundary:
+            new_state = new_state.transform(cut_lineage)
+            release(state_ck)
+            state_ck = new_state
+        ranks = new_state
+    all_v = spark.range(nv).select(F.col("id").alias("vid"))
+    ranks = all_v.join(ranks, "vid", "left").select(
+        "vid", F.coalesce("rank", F.lit(0.0)).alias("rank")
+    )
+    return ranks, iters

@@ -151,6 +151,28 @@ def main():
         ("AQE plan", lambda p: "AdaptiveSparkPlan" in p),
     ], execute=True)
 
+    # 6. Python-boundary discipline: the north rule requires vectorized
+    # pandas/Arrow UDFs ONLY. Plan-level: no audited plan may contain a
+    # row-at-a-time BatchEvalPython node (Arrow paths show ArrowEvalPython
+    # / FlatMapGroupsInPandas / FlatMapCoGroupsInPandas / MapInPandas).
+    # Source-level: the package registers no row-wise UDF anywhere.
+    all_plans = "\n".join(sections)
+    ok = "BatchEvalPython" not in all_plans
+    checks.append(("python_boundary", "no BatchEvalPython in any audited plan", ok))
+    print(f"{'PASS' if ok else 'FAIL'}  python_boundary: no BatchEvalPython in any audited plan")
+    import re as _re
+
+    src_hits = [
+        f"{py.relative_to(REPO)}:{i}"
+        for py in sorted((REPO / "grappolo_spark").rglob("*.py"))
+        for i, line in enumerate(py.read_text().splitlines(), 1)
+        if _re.search(r"(^|[^\w.])(F\.)?udf\(|@udf\b|\.udf\.register\(", line)
+    ]
+    ok = not src_hits
+    checks.append(("python_boundary", "no row-wise UDF registration in package source", ok))
+    print(f"{'PASS' if ok else 'FAIL'}  python_boundary: no row-wise UDF registration "
+          f"in package source{'' if ok else ' — ' + ', '.join(src_hits)}")
+
     (REPO / "PLANS.md").write_text(
         "# Physical-plan audit (generated by scripts/plan_audit.py)\n\n"
         + "Checks: "
