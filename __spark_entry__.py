@@ -16,6 +16,7 @@ into HUGEINT).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1137,6 +1138,44 @@ def _pagerank_cte(edges_rel: str, nv_expr: str, all_vids_rel: str,
     """
 
 
+_MP_SCHEDULE_CACHE: dict[str, list | None] = {}
+
+
+def _louvain_oracle_schedule() -> list | None:
+    """Observed per-phase sweep counts for the full-convergence twin.
+
+    Replays the exact ``louvain()`` driver loop via the numpy oracle
+    (``louvain_schedule_np``) on the correctness-gate corpus — the
+    copurchase graph at ``SPARK_GRAFT_ORACLE_SF`` (default sf0.01, the sf
+    the driver compares at). Returns None when the corpus is unavailable
+    (the two convergence queries then simply have no oracle entry, the
+    pre-round-2 status quo). Cached per path; ~4 s once.
+    """
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    if sf in _MP_SCHEDULE_CACHE:
+        return _MP_SCHEDULE_CACHE[sf]
+    sched = None
+    try:
+        import duckdb
+
+        from grappolo_spark.oracle.numpy_oracle import louvain_schedule_np
+
+        con = duckdb.connect()
+        for t in ("lineitem", "part"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            )
+        rows = con.execute(
+            f"WITH {T.COPURCHASE_SQL_CTE} SELECT src, dst, weight FROM edges"
+        ).fetchall()
+        nv = con.execute("SELECT COUNT(*) FROM part").fetchone()[0]
+        sched = louvain_schedule_np(rows, nv)
+    except Exception:
+        sched = None
+    _MP_SCHEDULE_CACHE[sf] = sched
+    return sched
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {}
 
@@ -1347,6 +1386,27 @@ def oracle_sql() -> dict[str, str]:
         WITH {_EDGES},{_tp_ctes}
         SELECT vid, comm FROM {_tp_final}
     """
+
+    # Full convergence run (ref C10): the twin unrolls the ENTIRE louvain()
+    # driver chain with per-phase sweep counts observed by replaying the
+    # same loop in the numpy oracle on the gate corpus (sf0.01 — the sf the
+    # correctness driver compares at; SPARK_GRAFT_ORACLE_SF overrides). The
+    # counts parameterize only the unroll DEPTH — every value is recomputed
+    # by DuckDB from the parquet tables, and a wrong count can only surface
+    # as a visible hash mismatch, never a false pass (test_louvain_full_twin
+    # proves the construction ≡ numpy ≡ engine ≡ reference binary).
+    _mp_sched = _louvain_oracle_schedule()
+    if _mp_sched is not None:
+        from grappolo_spark.oracle.louvain_sql import louvain_multiphase_sql
+
+        _mp_ctes, _mp_final = louvain_multiphase_sql(_mp_sched)
+        sql["louvain_communities"] = f"""
+            WITH {_EDGES},
+            allv AS (SELECT CAST(p_partkey AS BIGINT) AS vid FROM part),{_mp_ctes}
+            SELECT vid, comm FROM {_mp_final}
+        """
+        # the Arrow path is bit-identical (pytest-gated); one twin serves both
+        sql["louvain_arrow"] = sql["louvain_communities"]
 
     from grappolo_spark.oracle.louvain_sql import directed_sweeps_sql
 

@@ -382,3 +382,91 @@ def resistance_stats_sql(sweeps: int, const_factor: float = 1.0) -> tuple[str, s
             FROM rs_r
         )""")
     return ",".join(parts), "rs_out"
+
+
+# ---------------------------------------------------------------------------
+# Full multi-phase convergence twin (ref C10, ``runMultiPhaseBasic.cpp:
+# 66-204``) — the ENTIRE ``louvain()`` driver run unrolled, given the
+# observed per-phase sweep counts.
+# ---------------------------------------------------------------------------
+
+def louvain_multiphase_sql(schedule, allv: str = "allv") -> tuple[str, str]:
+    """SQL twin of the full convergence ``louvain()`` run.
+
+    ``schedule`` = per-phase sweep counts (``PhaseResult.num_iters`` for
+    each executed phase). The counts are ONLY unroll depths — every value
+    (degrees, gains, argmaxes, renumbers, coarse weights) is recomputed by
+    DuckDB from the base tables. The schedule is well-defined because the
+    engine's phase exits are purely structural (``moved == 0`` or
+    ``max_inner`` inside a phase; ``change``/fixpoint between phases —
+    ``operators/louvain.py``), and phase ``p`` returns the state after
+    ``schedule[p]-1`` applied sweeps regardless of which exit fired
+    (a no-move sweep's target is its input, so the unrolled chain and the
+    early-exit chain agree — see ``louvain_sweeps_sql``).
+
+    Chain per phase: sweeps -> full-vertex fill (phase 1 only: isolated
+    vertices are -1 when the returned state is a sweep target, their own
+    vid when the phase stopped on its first sweep — ``operators/
+    louvain.py:702-712``) -> first-occurrence renumber (-1 passthrough)
+    -> C_orig projection (ref J3) -> community-aggregation coarsen (ref
+    C11) feeding the next phase. Coarse weights are sums of the corpus's
+    integer-valued weights, so every aggregate stays an exact float64 and
+    the shared gain expression is bit-deterministic (same argument as
+    ``louvain_two_phase_sql``).
+
+    Requires ``edges(src, dst, weight)`` (symmetric rows) and
+    ``{allv}(vid)`` (the full 0..nv-1 vertex universe) CTEs in scope.
+    Returns (cte_block, final_name) with final columns (vid, comm).
+    """
+    schedule = list(schedule)
+    if not schedule or any(k < 1 for k in schedule):
+        raise ValueError("schedule must be >= 1 sweeps per phase")
+    parts = []
+    edges_rel = "edges"
+    corig = None
+    for p, k in enumerate(schedule, 1):
+        pref = f"mp{p}"
+        ctes, fin = louvain_sweeps_sql(k, prefix=pref, edges=edges_rel)
+        parts.append(ctes)
+        if p == 1:
+            # isolated vertices (no edge rows): -1 once any sweep target
+            # was returned, own vid if the phase stopped on sweep 1
+            iso = "-1" if k >= 2 else "v.vid"
+            parts.append(f"""
+        {pref}_full AS (
+            SELECT v.vid, CAST(COALESCE(s.comm, {iso}) AS BIGINT) AS comm
+            FROM {allv} v LEFT JOIN {fin} s USING (vid)
+        ),
+        {pref}_rmap AS (
+            SELECT comm, ROW_NUMBER() OVER (ORDER BY first_vid) - 1 AS new_comm
+            FROM (SELECT comm, MIN(vid) AS first_vid FROM {pref}_full
+                  WHERE comm >= 0 GROUP BY comm)
+        ),
+        {pref}_c AS MATERIALIZED (
+            SELECT s.vid, CAST(COALESCE(m.new_comm, s.comm) AS BIGINT) AS comm
+            FROM {pref}_full s LEFT JOIN {pref}_rmap m USING (comm)
+        )""")
+            corig = f"{pref}_c"
+        else:
+            # coarse graphs have no isolated vertices (every community has
+            # a member edge row, which coarsens to a row with that
+            # community as src) — the sweep state is already total
+            parts.append(_renumber_cte(fin, f"{pref}_c"))
+            parts.append(f"""
+        {pref}_o AS MATERIALIZED (
+            SELECT o.vid, CAST(COALESCE(m.comm, o.comm) AS BIGINT) AS comm
+            FROM {corig} o LEFT JOIN {pref}_c m ON m.vid = o.comm
+        )""")
+            corig = f"{pref}_o"
+        if p < len(schedule):
+            nxt = f"mpe{p + 1}"
+            parts.append(f"""
+        {nxt} AS MATERIALIZED (
+            SELECT cs.comm AS src, cd.comm AS dst, SUM(e.weight) AS weight
+            FROM {edges_rel} e
+            JOIN {pref}_c cs ON e.src = cs.vid
+            JOIN {pref}_c cd ON e.dst = cd.vid
+            GROUP BY cs.comm, cd.comm
+        )""")
+            edges_rel = nxt
+    return ",".join(parts), corig

@@ -713,3 +713,36 @@ def rcm_ordering_np(edges, nv):
     for i, v in enumerate(R):
         p_order[v] = nv - i - 1
     return p_order, n_cc
+
+
+def louvain_schedule_np(
+    edges, nv, max_phases=200, max_total_iters=100000, max_inner=25,
+):
+    """Per-phase sweep counts of the exact ``louvain_multiphase_np`` run —
+    the unroll schedule for ``oracle.louvain_sql.louvain_multiphase_sql``.
+
+    Replays the identical driver loop (phase exits are structural:
+    ``change``/fixpoint/caps — never value-thresholded) and records each
+    phase's ``num_iters``. The counts parameterize only the SQL twin's
+    unroll DEPTH; all values are recomputed by DuckDB from the tables.
+    """
+    g_edges, g_nv = list(edges), nv
+    phase, tot_iters = 1, 0
+    sched = []
+    while True:
+        c, _mod, iters, change, _ = louvain_phase_np(
+            g_edges, g_nv, max_inner=max_inner
+        )
+        tot_iters += iters
+        sched.append(iters)
+        c, num_clusters = renumber_np(c)
+        if phase > max_phases or tot_iters > max_total_iters:
+            break
+        if num_clusters == g_nv:
+            break  # coarsening fixpoint
+        if change:
+            g_edges, g_nv = coarsen_np(g_edges, c, num_clusters)
+            phase += 1
+        else:
+            break
+    return sched

@@ -62,6 +62,13 @@ WINDOWS = (REPO / "scripts" / "bench_windows.json"
 
 LEG = r"""
 import json, os, sys
+# cluster-size emulation: pin this leg (JVM + python workers inherit) to
+# exactly its core budget. An UNPINNED local[8] leg borrows all 32
+# cores' L3 / memory controllers / turbo headroom — resources a real
+# N-executor cluster does not have — so unpinned N-legs over-measure N
+# and under-measure scaling efficiency. Pinned legs are the round
+# protocol's literal "N and 4N cores".
+os.sched_setaffinity(0, sorted(os.sched_getaffinity(0))[: %(cpus)d])
 sys.path.insert(0, %(repo)r)
 from grappolo_spark.session import get_spark
 import bench
@@ -74,6 +81,16 @@ head = bench.run_headline(spark, edges, n, nv, repeats=1)
 print(json.dumps(head))
 spark.stop()
 """
+
+
+def _pin(n_cores):
+    """Restrict the CURRENT process (and future children) to the first
+    n_cores of the allowed set; returns the previous mask for restore.
+    None = leave unpinned."""
+    prev = os.sched_getaffinity(0)
+    if n_cores is not None:
+        os.sched_setaffinity(0, sorted(prev)[:n_cores])
+    return prev
 
 
 def _burn(counter):
@@ -95,10 +112,12 @@ def cpu_probe(worker_counts, reps: int = 1) -> dict[int, int]:
     out = {w: 0 for w in worker_counts}
     for _ in range(max(1, reps)):
         for workers in worker_counts:
+            prev = _pin(workers)  # probe w CORES, not w floating threads
             counters = [multiprocessing.Value("i", 0) for _ in range(workers)]
             procs = [multiprocessing.Process(target=_burn, args=(c,)) for c in counters]
             [p.start() for p in procs]
             [p.join() for p in procs]
+            os.sched_setaffinity(0, prev)
             out[workers] = max(out[workers], sum(c.value for c in counters))
     return out
 
@@ -127,10 +146,12 @@ def mem_probe(worker_counts, reps: int = 1) -> dict[int, float]:
     out = {w: 0.0 for w in worker_counts}
     for _ in range(max(1, reps)):
         for workers in worker_counts:
+            prev = _pin(workers)  # w CORES' worth of memory controllers
             counters = [multiprocessing.Value("i", 0) for _ in range(workers)]
             procs = [multiprocessing.Process(target=_triad, args=(c,)) for c in counters]
             [p.start() for p in procs]
             [p.join() for p in procs]
+            os.sched_setaffinity(0, prev)
             passes = sum(c.value for c in counters)
             # ~6 x 128 MiB per pass: read c, write a (+RFO), read a,
             # read b, write a (+RFO)
@@ -146,7 +167,7 @@ def run_at(cpus: int, n_convs: int, probe: bool = False) -> dict:
     available capacity swings minute-to-minute, and the bracketing probes
     record what the hardware actually offered DURING this leg."""
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-    code = LEG % {"repo": str(REPO), "n_convs": n_convs}
+    code = LEG % {"repo": str(REPO), "n_convs": n_convs, "cpus": cpus}
     cap0 = cpu_probe([cpus])[cpus] if probe else None
     t0 = time.time()
     out = subprocess.run(
@@ -284,10 +305,20 @@ measured (not asserted) form of the extrapolation argument above.
 
 North rule: throughput scaling efficiency >= 0.8 between N and 4N
 executors. No real cluster exists in this sandbox, so per the round
-protocol the same job runs at two parallelism levels — **N = local[8]
-and 4N = local[32]** — on the SAME parquet-cached input, mirroring the
-reference's own strong-scaling protocol
-(``driverForGraphClustering.cpp:142-176``).
+protocol the same job runs at two parallelism levels on the SAME
+parquet-cached input, mirroring the reference's own strong-scaling
+protocol (``driverForGraphClustering.cpp:142-176``).
+
+**Cluster-size emulation (round-2 protocol): every leg — and its
+bracketing capacity probes — is PINNED to exactly its core budget
+(``sched_setaffinity``): N = 8 cores, 4N = 32 cores.** An unpinned
+local[8] leg floats its 8 task threads across all 32 cores, borrowing
+the whole box's L3, memory controllers and turbo headroom — resources
+a real N-executor cluster does not have — so unpinned N-legs
+over-measure N and systematically under-report scaling efficiency.
+Pinned legs are the round protocol's literal "N and 4N cores"; the
+round-1 windows in the repeatability table below predate this and are
+labeled unpinned.
 
 ## Machine calibration (pure-CPU probe, no Spark)
 
@@ -456,6 +487,7 @@ Reproduce: ``python scripts/scaling_bench.py {n_convs} {repeats} {amort_convs} {
         "cap32_hi": round(cap32[-1]),
         "raw_eff": round(eff, 2),
         "norm_eff": round(eff_norm, 2),
+        "pinned": True,
     }
     if amort:
         rec["amort_small_eff"] = round(a_med[lo_convs], 2)
@@ -470,7 +502,8 @@ Reproduce: ``python scripts/scaling_bench.py {n_convs} {repeats} {amort_convs} {
                 else f"{w['cap32_lo']:,}–{w['cap32_hi']:,}")
 
     wrows = "\n".join(
-        f"| {w['label']} | {w.get('n_convs', 100000):,} | {w['cap8']:,} "
+        f"| {w['label']}{' (pinned)' if w.get('pinned') else ' (unpinned)'} "
+        f"| {w.get('n_convs', 100000):,} | {w['cap8']:,} "
         f"| {cap32_str(w)} "
         f"| {(w['cap32_lo'] + w['cap32_hi']) / 2 / w['cap8']:.1f}x "
         f"| {w['raw_eff']:.2f} | **{w['norm_eff']:.2f}** |"
