@@ -1024,6 +1024,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _EDGES = T.COPURCHASE_SQL_CTE
 
+_TR = T.TRANSCRIPTS_SQL_CTE
+
+# reply/tool-interaction transcript graph CTEs (turns/tools vertex maps,
+# the `directed` edge table, symmetrized `tredges`) — shared by the
+# transcript oracle entries and the variant schedule replays
+_TR_GRAPH = f"""
+        {_TR},
+        turns AS (
+            SELECT conv_id, turn_idx,
+                   ROW_NUMBER() OVER (ORDER BY conv_id, turn_idx) - 1 AS vid
+            FROM (SELECT DISTINCT conv_id, turn_idx FROM tr)
+        ),
+        tools AS (
+            SELECT tool,
+                   (SELECT COUNT(*) FROM turns)
+                   + ROW_NUMBER() OVER (ORDER BY tool) - 1 AS vid
+            FROM (SELECT DISTINCT tool FROM tr WHERE tool IS NOT NULL)
+        ),
+        rp AS (
+            SELECT conv_id, turn_idx,
+                   LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx
+            FROM (SELECT DISTINCT conv_id, turn_idx FROM tr)
+        ),
+        reply AS (
+            SELECT t1.vid AS src, t2.vid AS dst
+            FROM rp
+            JOIN turns t1 ON rp.conv_id = t1.conv_id AND rp.turn_idx = t1.turn_idx
+            JOIN turns t2 ON rp.conv_id = t2.conv_id AND rp.prev_idx = t2.turn_idx
+            WHERE rp.prev_idx IS NOT NULL
+        ),
+        tool_e AS (
+            SELECT t.vid AS src, tl.vid AS dst
+            FROM tr
+            JOIN turns t ON tr.conv_id = t.conv_id AND tr.turn_idx = t.turn_idx
+            JOIN tools tl ON tr.tool = tl.tool
+            WHERE tr.tool IS NOT NULL
+        ),
+        directed AS (
+            SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS weight
+            FROM (SELECT * FROM reply UNION ALL SELECT * FROM tool_e)
+            GROUP BY 1, 2
+        ),
+        canon AS (
+            SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+                   SUM(weight) AS weight
+            FROM directed GROUP BY 1, 2
+        ),
+        tredges AS (
+            SELECT u AS src, v AS dst, weight FROM canon
+            UNION ALL
+            SELECT v AS src, u AS dst, weight FROM canon WHERE u <> v
+        )
+    """
+
+
 _BRAND = """
 brand AS (
     SELECT p_partkey AS vid,
@@ -1139,6 +1194,73 @@ def _pagerank_cte(edges_rel: str, nv_expr: str, all_vids_rel: str,
 
 
 _MP_SCHEDULE_CACHE: dict[str, list | None] = {}
+_VARIANT_SCHEDULE_CACHE: dict[tuple, object] = {}
+
+
+def _oracle_graph_rows(sf: str, views: tuple, cte: str,
+                       edges_sel: str, nv_sql: str):
+    """(edge rows, nv) of a gate graph straight from DuckDB — the same
+    SQL the oracle itself runs, so the replayed schedule is observed on
+    the exact comparison input."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in views:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    rows = con.execute(f"WITH {cte} {edges_sel}").fetchall()
+    nv = con.execute(f"WITH {cte} {nv_sql}").fetchone()[0]
+    return rows, nv
+
+
+def _directed_oracle_iters() -> int | None:
+    """Observed sweep count of the full-convergence directed Louvain run
+    (ref C8) on the gate corpus — the unroll depth for
+    ``oracle/louvain_sql.base_phase_full_sql`` (depth only; every value is
+    recomputed by DuckDB; a wrong count surfaces as a hash mismatch)."""
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    key = ("directed", sf)
+    if key in _VARIANT_SCHEDULE_CACHE:
+        return _VARIANT_SCHEDULE_CACHE[key]
+    out = None
+    try:
+        from grappolo_spark.oracle.numpy_oracle import directed_louvain_np
+
+        rows, nv = _oracle_graph_rows(
+            sf, ("events",), _TR_GRAPH,
+            "SELECT src, dst, weight FROM directed",
+            "SELECT (SELECT COUNT(*) FROM turns) + (SELECT COUNT(*) FROM tools)",
+        )
+        out = int(directed_louvain_np(rows, nv)["num_iters"])
+    except Exception:
+        out = None
+    _VARIANT_SCHEDULE_CACHE[key] = out
+    return out
+
+
+def _resistance_oracle_schedule() -> list | None:
+    """Observed per-phase sweep counts of the full FastTrackResistance run
+    (ref C9) on the gate corpus — the unroll schedule for
+    ``oracle/louvain_sql.resistance_multiphase_sql``."""
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    key = ("resistance", sf)
+    if key in _VARIANT_SCHEDULE_CACHE:
+        return _VARIANT_SCHEDULE_CACHE[key]
+    out = None
+    try:
+        from grappolo_spark.oracle.numpy_oracle import fasttrack_resistance_np
+
+        rows, nv = _oracle_graph_rows(
+            sf, ("lineitem", "part"), T.COPURCHASE_SQL_CTE,
+            "SELECT src, dst, weight FROM edges",
+            "SELECT COUNT(*) FROM part",
+        )
+        out = list(fasttrack_resistance_np(rows, nv)["schedule"])
+    except Exception:
+        out = None
+    _VARIANT_SCHEDULE_CACHE[key] = out
+    return out
 
 
 def _louvain_oracle_schedule() -> list | None:
@@ -1432,6 +1554,35 @@ def oracle_sql() -> dict[str, str]:
         FROM {_rs_final}
     """
 
+    # Full-convergence variant runs (ref C8 / C9): same construction as
+    # louvain_communities — the numpy replay's observed sweep counts are
+    # unroll DEPTHS only, every value is recomputed by DuckDB, and a wrong
+    # count can only surface as a visible hash mismatch
+    # (test_variant_full_twins.py proves twin ≡ numpy ≡ engine).
+    _dk = _directed_oracle_iters()
+    if _dk is not None:
+        from grappolo_spark.oracle.louvain_sql import base_phase_full_sql
+
+        _df_ctes, _df_fin = base_phase_full_sql(_dk, 2.0)
+        sql["directed_louvain"] = f"""
+            WITH {_TR_GRAPH},
+            dedges AS (SELECT src, dst, weight FROM directed),
+            dverts AS (SELECT vid FROM turns UNION ALL
+                       SELECT vid FROM tools),{_df_ctes}
+            SELECT vid, comm FROM {_df_fin}
+        """
+
+    _rm_sched = _resistance_oracle_schedule()
+    if _rm_sched is not None:
+        from grappolo_spark.oracle.louvain_sql import resistance_multiphase_sql
+
+        _rm_ctes, _rm_fin = resistance_multiphase_sql(_rm_sched)
+        sql["louvain_resistance"] = f"""
+            WITH {_EDGES},
+            allv AS (SELECT CAST(p_partkey AS BIGINT) AS vid FROM part),{_rm_ctes}
+            SELECT vid, comm FROM {_rm_fin}
+        """
+
     sql["vf_pipeline_coarse"] = f"""
         WITH {_EDGES},
         degs AS (SELECT src AS vid, COUNT(*) AS n, MAX(dst) AS only_dst
@@ -1633,61 +1784,11 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN degs t ON d.only_dst = t.vid
     """
 
-    _TR = T.TRANSCRIPTS_SQL_CTE
-
     sql["transcript_table"] = f"""
         WITH {_TR}
         SELECT conv_id, turn_idx, role, text, tool, ts FROM tr
     """
 
-    _TR_GRAPH = f"""
-        {_TR},
-        turns AS (
-            SELECT conv_id, turn_idx,
-                   ROW_NUMBER() OVER (ORDER BY conv_id, turn_idx) - 1 AS vid
-            FROM (SELECT DISTINCT conv_id, turn_idx FROM tr)
-        ),
-        tools AS (
-            SELECT tool,
-                   (SELECT COUNT(*) FROM turns)
-                   + ROW_NUMBER() OVER (ORDER BY tool) - 1 AS vid
-            FROM (SELECT DISTINCT tool FROM tr WHERE tool IS NOT NULL)
-        ),
-        rp AS (
-            SELECT conv_id, turn_idx,
-                   LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx
-            FROM (SELECT DISTINCT conv_id, turn_idx FROM tr)
-        ),
-        reply AS (
-            SELECT t1.vid AS src, t2.vid AS dst
-            FROM rp
-            JOIN turns t1 ON rp.conv_id = t1.conv_id AND rp.turn_idx = t1.turn_idx
-            JOIN turns t2 ON rp.conv_id = t2.conv_id AND rp.prev_idx = t2.turn_idx
-            WHERE rp.prev_idx IS NOT NULL
-        ),
-        tool_e AS (
-            SELECT t.vid AS src, tl.vid AS dst
-            FROM tr
-            JOIN turns t ON tr.conv_id = t.conv_id AND tr.turn_idx = t.turn_idx
-            JOIN tools tl ON tr.tool = tl.tool
-            WHERE tr.tool IS NOT NULL
-        ),
-        directed AS (
-            SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS weight
-            FROM (SELECT * FROM reply UNION ALL SELECT * FROM tool_e)
-            GROUP BY 1, 2
-        ),
-        canon AS (
-            SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
-                   SUM(weight) AS weight
-            FROM directed GROUP BY 1, 2
-        ),
-        tredges AS (
-            SELECT u AS src, v AS dst, weight FROM canon
-            UNION ALL
-            SELECT v AS src, u AS dst, weight FROM canon WHERE u <> v
-        )
-    """
 
     sql["transcript_reply_edges"] = f"""
         WITH {_TR_GRAPH}

@@ -193,23 +193,24 @@ def louvain_two_phase_sql(k1: int, k2: int) -> tuple[str, str]:
 # pastCommAss return semantics, reference community-slot bookkeeping.
 # ---------------------------------------------------------------------------
 
-def _dv_init_cte(const_factor: float) -> str:
+def _dv_init_cte(const_factor: float, p: str = "dv", edges: str = "dedges",
+                 verts: str = "dverts") -> str:
     return f"""
-        dv_deg AS MATERIALIZED (
-            SELECT src AS vid, SUM(weight) AS degree FROM dedges GROUP BY src
+        {p}_deg AS MATERIALIZED (
+            SELECT src AS vid, SUM(weight) AS degree FROM {edges} GROUP BY src
         ),
-        dv_cf AS (SELECT {const_factor!r} / SUM(weight) AS c FROM dedges),
-        dv_self AS MATERIALIZED (
-            SELECT src AS vid, SUM(weight) AS self_w FROM dedges
+        {p}_cf AS (SELECT {const_factor!r} / SUM(weight) AS c FROM {edges}),
+        {p}_self AS MATERIALIZED (
+            SELECT src AS vid, SUM(weight) AS self_w FROM {edges}
             WHERE src = dst GROUP BY src
         ),
-        dv_s0 AS MATERIALIZED (
+        {p}_s0 AS MATERIALIZED (
             SELECT CAST(vid AS BIGINT) AS vid, CAST(vid AS BIGINT) AS comm
-            FROM dverts
+            FROM {verts}
         )"""
 
 
-def _dv_sweep_cte(i: int) -> str:
+def _dv_sweep_cte(i: int, p: str = "dv", edges: str = "dedges") -> str:
     """One applied base-path sweep: state ``dv_s{i-1}`` -> ``dv_s{i}``.
 
     Mirrors ``operators.louvain_variants._base_phase`` 1:1: community info
@@ -220,57 +221,57 @@ def _dv_sweep_cte(i: int) -> str:
     argmax, singleton swap protection, and the -1 fill for vertices with
     no out-rows (ref ``parallelDirectedLouvainMethod.cpp:174-176``).
     """
-    p = f"dv_s{i - 1}"
+    s = f"{p}_s{i - 1}"
     return f"""
-        dv_info{i} AS MATERIALIZED (
+        {p}_info{i} AS MATERIALIZED (
             SELECT CASE WHEN s.comm < 0 THEN s.vid ELSE s.comm END AS comm,
                    COUNT(*) AS c_size,
                    COALESCE(SUM(d.degree), 0.0) AS c_degree
-            FROM {p} s LEFT JOIN dv_deg d USING (vid)
+            FROM {s} s LEFT JOIN {p}_deg d USING (vid)
             GROUP BY 1
         ),
-        dv_cand{i} AS MATERIALIZED (
+        {p}_cand{i} AS MATERIALIZED (
             SELECT e.src, sd.comm AS comm_dst, SUM(e.weight) AS eiy
-            FROM dedges e JOIN {p} sd ON e.dst = sd.vid
+            FROM {edges} e JOIN {s} sd ON e.dst = sd.vid
             GROUP BY e.src, sd.comm
         ),
-        dv_base{i} AS MATERIALIZED (
+        {p}_base{i} AS MATERIALIZED (
             SELECT s.vid, s.comm AS sc, d.degree, i.c_size AS size_sc,
                    COALESCE(c.eiy, 0.0) - COALESCE(sw.self_w, 0.0) AS eix,
                    i.c_degree - d.degree AS ax
-            FROM {p} s
-            JOIN dv_deg d USING (vid)
-            JOIN dv_info{i} i ON i.comm = s.comm
-            LEFT JOIN dv_cand{i} c ON c.src = s.vid AND c.comm_dst = s.comm
-            LEFT JOIN dv_self sw ON sw.vid = s.vid
+            FROM {s} s
+            JOIN {p}_deg d USING (vid)
+            JOIN {p}_info{i} i ON i.comm = s.comm
+            LEFT JOIN {p}_cand{i} c ON c.src = s.vid AND c.comm_dst = s.comm
+            LEFT JOIN {p}_self sw ON sw.vid = s.vid
         ),
-        dv_scored{i} AS (
+        {p}_scored{i} AS (
             SELECT b.vid, b.sc, c.comm_dst, b.size_sc, iy.c_size AS size_y,
                    (2.0 * (c.eiy - b.eix))
                    - (2.0 * b.degree * (iy.c_degree - b.ax)
-                      * (SELECT cf.c FROM dv_cf cf)) AS gain
-            FROM dv_cand{i} c
-            JOIN dv_base{i} b ON b.vid = c.src
-            JOIN dv_info{i} iy ON iy.comm = c.comm_dst
+                      * (SELECT cf.c FROM {p}_cf cf)) AS gain
+            FROM {p}_cand{i} c
+            JOIN {p}_base{i} b ON b.vid = c.src
+            JOIN {p}_info{i} iy ON iy.comm = c.comm_dst
             WHERE c.comm_dst >= 0 AND c.comm_dst <> b.sc
         ),
-        dv_best{i} AS (
+        {p}_best{i} AS (
             SELECT vid, cand_comm, cand_size FROM (
                 SELECT vid, comm_dst AS cand_comm, size_y AS cand_size,
                        ROW_NUMBER() OVER (PARTITION BY vid
                                           ORDER BY gain DESC, comm_dst ASC) AS rn
-                FROM dv_scored{i} WHERE gain > 0
+                FROM {p}_scored{i} WHERE gain > 0
             ) WHERE rn = 1
         ),
-        dv_s{i} AS MATERIALIZED (
+        {p}_s{i} AS MATERIALIZED (
             SELECT v.vid, CAST(COALESCE(t.comm, -1) AS BIGINT) AS comm
-            FROM dv_s0 v LEFT JOIN (
+            FROM {p}_s0 v LEFT JOIN (
                 SELECT b.vid,
                        CASE WHEN t.cand_comm IS NULL THEN b.sc
                             WHEN t.cand_size = 1 AND b.size_sc = 1
                                  AND t.cand_comm > b.sc THEN b.sc
                             ELSE t.cand_comm END AS comm
-                FROM dv_base{i} b LEFT JOIN dv_best{i} t ON t.vid = b.vid
+                FROM {p}_base{i} b LEFT JOIN {p}_best{i} t ON t.vid = b.vid
             ) t USING (vid)
         )"""
 
@@ -469,4 +470,106 @@ def louvain_multiphase_sql(schedule, allv: str = "allv") -> tuple[str, str]:
             GROUP BY cs.comm, cd.comm
         )""")
             edges_rel = nxt
+    return ",".join(parts), corig
+
+
+# ---------------------------------------------------------------------------
+# Full-convergence base-path twins (ref C8 single phase, ref C9 multi-phase)
+# — observed sweep/phase counts as unroll depths, like louvain_multiphase_sql.
+# ---------------------------------------------------------------------------
+
+def base_phase_full_sql(num_iters: int, const_factor: float = 2.0,
+                        prefix: str = "dv", edges: str = "dedges",
+                        verts: str = "dverts") -> tuple[str, str]:
+    """SQL twin of a full-convergence ``_base_phase`` run OBSERVED to
+    execute ``num_iters`` sweeps (``base_phase_np(...)["num_iters"]``):
+    the returned pastCommAss is the state the second-to-last sweep read,
+    i.e. after ``max(num_iters - 2, 0)`` applied sweeps (double-buffer
+    swap, ``parallelDirectedLouvainMethod.cpp:236-241``; a run stopping on
+    sweep 1 or 2 returns the singleton init). The count parameterizes only
+    the unroll DEPTH — every value is recomputed from the tables, and a
+    wrong count can only surface as a visible hash mismatch (the engine ≡
+    numpy equality is pytest-gated). Requires ``{edges}(src, dst, weight)``
+    (out-rows) and ``{verts}(vid)`` CTEs in scope. Returns
+    (cte_block, final_state_name).
+    """
+    applied = max(int(num_iters) - 2, 0)
+    parts = [_dv_init_cte(const_factor, prefix, edges, verts)]
+    parts += [_dv_sweep_cte(i, prefix, edges) for i in range(1, applied + 1)]
+    return ",".join(parts), f"{prefix}_s{applied}"
+
+
+def resistance_multiphase_sql(schedule, edges: str = "edges",
+                              verts: str = "allv") -> tuple[str, str]:
+    """SQL twin of the ENTIRE ``louvain_fasttrack_resistance()`` run
+    (ref C9, ``runMultiPhaseBasicFastTrackResistance.cpp:60-160``).
+
+    ``schedule`` = per-phase observed sweep counts
+    (``fasttrack_resistance_np(...)["schedule"]`` — the identical driver
+    loop). Counts are unroll depths only; the per-phase chain mirrors the
+    engine 1:1:
+
+    * undirected base-path sweeps (const = 1/2m, pastCommAss return —
+      ``base_phase_full_sql``), state total over the phase's vertex
+      universe with -1 for out-isolated vertices;
+    * first-occurrence dense renumber with -1 passthrough
+      (``operators.louvain.renumber``);
+    * C_orig projection ``c_orig[v] = c_p[c_orig[v]]`` for ``c_orig[v] >=
+      0``, -1 rows untouched (``louvain_fasttrack_resistance``'s coalesce
+      join ≡ the numpy twin's ``c[x] if x >= 0 else x``);
+    * community-aggregation coarsen feeding the next phase; the coarse
+      vertex universe is the dense renumbered community ids (``DISTINCT
+      comm >= 0`` ≡ ``range(num_clusters)``).
+
+    Coarse weights are sums of integer-valued corpus weights, so every
+    aggregate is an exact float64 and the shared gain expression is
+    bit-deterministic (same argument as ``louvain_multiphase_sql``).
+    Requires ``{edges}(src, dst, weight)`` (symmetric rows) and
+    ``{verts}(vid)`` (full 0..nv-1 universe) CTEs in scope. Returns
+    (cte_block, final_name) with final columns (vid, comm).
+    """
+    schedule = list(schedule)
+    if not schedule or any(k < 1 for k in schedule):
+        raise ValueError("schedule must be >= 1 sweeps per phase")
+    parts = []
+    edges_rel, verts_rel = edges, verts
+    corig = None
+    for p, k in enumerate(schedule, 1):
+        pref = f"rm{p}"
+        ctes, fin = base_phase_full_sql(k, 1.0, pref, edges_rel, verts_rel)
+        parts.append(ctes)
+        # -1-aware first-occurrence renumber (isolated rows pass through)
+        parts.append(f"""
+        {pref}_rmap AS (
+            SELECT comm, ROW_NUMBER() OVER (ORDER BY first_vid) - 1 AS new_comm
+            FROM (SELECT comm, MIN(vid) AS first_vid FROM {fin}
+                  WHERE comm >= 0 GROUP BY comm)
+        ),
+        {pref}_c AS MATERIALIZED (
+            SELECT s.vid, CAST(COALESCE(m.new_comm, s.comm) AS BIGINT) AS comm
+            FROM {fin} s LEFT JOIN {pref}_rmap m USING (comm)
+        )""")
+        if p == 1:
+            corig = f"{pref}_c"
+        else:
+            parts.append(f"""
+        {pref}_o AS MATERIALIZED (
+            SELECT o.vid,
+                   CAST(CASE WHEN o.comm >= 0 THEN m.comm
+                             ELSE o.comm END AS BIGINT) AS comm
+            FROM {corig} o LEFT JOIN {pref}_c m ON m.vid = o.comm
+        )""")
+            corig = f"{pref}_o"
+        if p < len(schedule):
+            nxt_e, nxt_v = f"rme{p + 1}", f"rmv{p + 1}"
+            parts.append(f"""
+        {nxt_e} AS MATERIALIZED (
+            SELECT cs.comm AS src, cd.comm AS dst, SUM(e.weight) AS weight
+            FROM {edges_rel} e
+            JOIN {pref}_c cs ON e.src = cs.vid
+            JOIN {pref}_c cd ON e.dst = cd.vid
+            GROUP BY cs.comm, cd.comm
+        ),
+        {nxt_v} AS (SELECT DISTINCT comm AS vid FROM {pref}_c WHERE comm >= 0)""")
+            edges_rel, verts_rel = nxt_e, nxt_v
     return ",".join(parts), corig

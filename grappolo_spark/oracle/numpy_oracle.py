@@ -624,6 +624,7 @@ def fasttrack_resistance_np(edges, nv, threshold=1e-6, max_phases=200,
     tot_iters = 0
     num_clusters = 0
     trajectory = []
+    schedule = []
     res = {"q_afg": -1.0}
 
     while True:
@@ -632,6 +633,7 @@ def fasttrack_resistance_np(edges, nv, threshold=1e-6, max_phases=200,
             lower=res["q_afg"], max_inner=max_inner, resistance_phase=phase,
         )
         tot_iters += res["num_iters"]
+        schedule.append(res["num_iters"])
         c, num_clusters = renumber_np(res["C"])
         trajectory.append(res["fin_mod"])
         if phase == 1:
@@ -652,6 +654,10 @@ def fasttrack_resistance_np(edges, nv, threshold=1e-6, max_phases=200,
         "C": c_orig, "modularity": res["fin_mod"], "r_min": res["r_min"],
         "q_afg": res["q_afg"], "phases": phase, "total_iters": tot_iters,
         "num_clusters": num_clusters, "trajectory": trajectory,
+        # per-phase sweep counts — the unroll schedule for the DuckDB twin
+        # (oracle/louvain_sql.resistance_multiphase_sql); depths only, every
+        # value is recomputed by DuckDB from the tables
+        "schedule": schedule,
     }
 
 
