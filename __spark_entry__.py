@@ -581,6 +581,9 @@ def _q_color_stats(spark, sf):
     )
 
 
+COLORED_MIN_GRAPH_SIZE = 1000  # shared with the DuckDB twin's replay
+
+
 def _q_louvain_colored(spark, sf):
     """Coloring-staged multi-phase driver (ref C12). ``min_graph_size``
     gates the colored phases to graphs above it — the reference's own
@@ -594,7 +597,8 @@ def _q_louvain_colored(spark, sf):
 
     e = T.copurchase_edges(spark, sf)
     nv = T.copurchase_nv(spark, sf)
-    res = louvain_coloring(spark, e, nv, min_graph_size=1000)
+    res = louvain_coloring(spark, e, nv,
+                           min_graph_size=COLORED_MIN_GRAPH_SIZE)
     return res.c
 
 
@@ -1263,6 +1267,35 @@ def _resistance_oracle_schedule() -> list | None:
     return out
 
 
+def _colored_oracle_schedule() -> dict | None:
+    """Observed unroll schedule of the full ``louvain_coloring`` run
+    (ref C12) on the gate corpus — per-colored-phase (num_iters, n_colors)
+    pairs + the basic tail's sweep counts, for
+    ``oracle/louvain_sql.louvain_coloring_full_sql``. Depths only; the
+    colorings themselves are recomputed by DuckDB's JP twin."""
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    key = ("colored", sf)
+    if key in _VARIANT_SCHEDULE_CACHE:
+        return _VARIANT_SCHEDULE_CACHE[key]
+    out = None
+    try:
+        from grappolo_spark.oracle.coloring_np import (
+            louvain_coloring_schedule_np,
+        )
+
+        rows, nv = _oracle_graph_rows(
+            sf, ("lineitem", "part"), T.COPURCHASE_SQL_CTE,
+            "SELECT src, dst, weight FROM edges",
+            "SELECT COUNT(*) FROM part",
+        )
+        out = louvain_coloring_schedule_np(
+            rows, nv, min_graph_size=COLORED_MIN_GRAPH_SIZE)
+    except Exception:
+        out = None
+    _VARIANT_SCHEDULE_CACHE[key] = out
+    return out
+
+
 def _louvain_oracle_schedule() -> list | None:
     """Observed per-phase sweep counts for the full-convergence twin.
 
@@ -1564,11 +1597,14 @@ def oracle_sql() -> dict[str, str]:
         from grappolo_spark.oracle.louvain_sql import base_phase_full_sql
 
         _df_ctes, _df_fin = base_phase_full_sql(_dk, 2.0)
+        # MATERIALIZED inputs: the sweep chain references them per sweep,
+        # and re-evaluating the transcript CTE chain each time is O(sweeps)
+        # full recomputes
         sql["directed_louvain"] = f"""
             WITH {_TR_GRAPH},
-            dedges AS (SELECT src, dst, weight FROM directed),
-            dverts AS (SELECT vid FROM turns UNION ALL
-                       SELECT vid FROM tools),{_df_ctes}
+            dedges AS MATERIALIZED (SELECT src, dst, weight FROM directed),
+            dverts AS MATERIALIZED (SELECT vid FROM turns UNION ALL
+                                    SELECT vid FROM tools),{_df_ctes}
             SELECT vid, comm FROM {_df_fin}
         """
 
@@ -1576,11 +1612,29 @@ def oracle_sql() -> dict[str, str]:
     if _rm_sched is not None:
         from grappolo_spark.oracle.louvain_sql import resistance_multiphase_sql
 
-        _rm_ctes, _rm_fin = resistance_multiphase_sql(_rm_sched)
+        _rm_ctes, _rm_fin = resistance_multiphase_sql(_rm_sched,
+                                                      edges="rm_edges")
         sql["louvain_resistance"] = f"""
             WITH {_EDGES},
+            rm_edges AS MATERIALIZED (SELECT src, dst, weight FROM edges),
             allv AS (SELECT CAST(p_partkey AS BIGINT) AS vid FROM part),{_rm_ctes}
             SELECT vid, comm FROM {_rm_fin}
+        """
+
+    # Full coloring-driver run (ref C12): colored Gauss-Seidel phases +
+    # basic tail, coloring recomputed per phase by the proven JP twin.
+    _cp_sched = _colored_oracle_schedule()
+    if _cp_sched is not None:
+        from grappolo_spark.oracle.louvain_sql import louvain_coloring_full_sql
+
+        _cp_ctes, _cp_fin = louvain_coloring_full_sql(
+            _cp_sched["colored"], _cp_sched["tail"],
+            tail_on_input=_cp_sched["tail_on_input"], edges="cp_edges")
+        sql["louvain_colored"] = f"""
+            WITH RECURSIVE {_EDGES},
+            cp_edges AS MATERIALIZED (SELECT src, dst, weight FROM edges),
+            allv AS (SELECT CAST(p_partkey AS BIGINT) AS vid FROM part),{_cp_ctes}
+            SELECT vid, comm FROM {_cp_fin}
         """
 
     sql["vf_pipeline_coarse"] = f"""

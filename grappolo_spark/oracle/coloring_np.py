@@ -333,3 +333,41 @@ def balanced_coloring_np(edges, nv, colors, ncolors=None,
         colors = new_colors
 
     return colors, rounds
+
+
+def louvain_coloring_schedule_np(edges, nv, c_thresh=1e-2, threshold=1e-6,
+                                 min_graph_size=1, max_phases=200):
+    """Unroll schedule of the exact ``louvain_coloring_np`` run — the
+    parameters for ``oracle.louvain_sql.louvain_coloring_full_sql``.
+
+    Replays the identical driver loop and records, per colored phase, the
+    (num_iters, n_colors) pair, plus the basic tail's per-phase sweep
+    counts (``louvain_schedule_np`` on whatever graph the loop handed to
+    the tail). ``tail_on_input`` is True when the loop broke via the
+    no-move / coarsening-fixpoint guard, in which case the tail runs on
+    the last colored phase's INPUT graph rather than its coarse graph
+    (``operators/louvain.py:louvain_coloring`` breaks BEFORE coarsening).
+    All values are unroll depths only — the SQL twin recomputes every
+    coloring, gain, renumber, and coarse weight from the tables.
+    """
+    from .numpy_oracle import coarsen_np, louvain_schedule_np, renumber_np
+
+    g_edges, g_nv = list(edges), nv
+    phases = 0
+    colored = []
+    tail_on_input = False
+    while g_nv > min_graph_size and phases < max_phases:
+        colors, _, _ = distance1_coloring_np(g_edges, g_nv)
+        c, _mod, iters, moved, _ = louvain_phase_colored_np(
+            g_edges, g_nv, colors, thresh=c_thresh
+        )
+        phases += 1
+        colored.append((iters, (max(colors) + 1) if colors else 1))
+        c, n_clusters = renumber_np(c)
+        if not moved or n_clusters == g_nv:
+            tail_on_input = True
+            break
+        g_edges, _ = coarsen_np(g_edges, c, n_clusters)
+        g_nv = n_clusters
+    tail = louvain_schedule_np(g_edges, g_nv)
+    return {"colored": colored, "tail": tail, "tail_on_input": tail_on_input}

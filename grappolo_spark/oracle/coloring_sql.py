@@ -22,7 +22,7 @@ from __future__ import annotations
 from .xxh64_sql import xxh64_sql
 
 
-def _tent_sql() -> str:
+def _tent_sql(p: str = "c") -> str:
     """Tentative first-fit colors for currently-uncolored vertices.
 
     min-free color via the sorted-distinct-gap trick: with a vertex's
@@ -30,9 +30,9 @@ def _tent_sql() -> str:
     color is the first rank where c_rn != rn, else the count — identical
     to the engine's sequence(0, n_colored) anti-join.
     """
-    return """
+    return f"""
         SELECT u.vid, u.prio, COALESCE(mf.minfree, 0) AS t
-        FROM (SELECT vid, prio FROM cst WHERE color IS NULL) u
+        FROM (SELECT vid, prio FROM {p}st WHERE color IS NULL) u
         LEFT JOIN (
             SELECT src AS vid,
                    CAST(COALESCE(MIN(CASE WHEN color <> rn THEN rn END),
@@ -42,9 +42,9 @@ def _tent_sql() -> str:
                        ROW_NUMBER() OVER (PARTITION BY src ORDER BY color) - 1 AS rn
                 FROM (
                     SELECT DISTINCT e.src, s2.color
-                    FROM cnbr e
-                    JOIN cst uu ON uu.vid = e.src AND uu.color IS NULL
-                    JOIN cst s2 ON s2.vid = e.dst
+                    FROM {p}nbr e
+                    JOIN {p}st uu ON uu.vid = e.src AND uu.color IS NULL
+                    JOIN {p}st s2 ON s2.vid = e.dst
                     WHERE s2.color IS NOT NULL
                 )
             )
@@ -53,41 +53,43 @@ def _tent_sql() -> str:
     """
 
 
-def distance1_cte(edges_rel: str) -> str:
-    """Shared WITH-body (no leading WITH RECURSIVE) computing ``cfinal``:
+def distance1_cte(edges_rel: str, p: str = "c") -> str:
+    """Shared WITH-body (no leading WITH RECURSIVE) computing ``{p}final``:
     the last-round (vid, color) state of the distance-1 coloring over the
-    edge-incident vertices."""
-    prio_rel = xxh64_sql("cverts", ["vid"], "vid", "42", "prio")
-    tent = _tent_sql()
+    edge-incident vertices. ``p`` prefixes every CTE name so several
+    colorings (one per colored Louvain phase) can coexist in one
+    statement."""
+    prio_rel = xxh64_sql(f"{p}verts", ["vid"], "vid", "42", "prio")
+    tent = _tent_sql(p)
     return f"""
-        cnbr AS MATERIALIZED (
+        {p}nbr AS MATERIALIZED (
             SELECT src, dst FROM {edges_rel} WHERE src <> dst
         ),
-        cverts AS (SELECT DISTINCT src AS vid FROM cnbr),
-        cprio AS MATERIALIZED (SELECT vid, prio FROM {prio_rel}),
-        cst(rnd, vid, color, prio) AS (
-            SELECT 0, vid, CAST(NULL AS INTEGER), prio FROM cprio
+        {p}verts AS (SELECT DISTINCT src AS vid FROM {p}nbr),
+        {p}prio AS MATERIALIZED (SELECT vid, prio FROM {prio_rel}),
+        {p}st(rnd, vid, color, prio) AS (
+            SELECT 0, vid, CAST(NULL AS INTEGER), prio FROM {p}prio
             UNION ALL
             SELECT s.rnd + 1, s.vid, COALESCE(s.color, a.new_color), s.prio
-            FROM cst s
+            FROM {p}st s
             LEFT JOIN (
                 SELECT t.vid, t.t AS new_color
                 FROM ({tent}) t
                 LEFT JOIN (
                     SELECT t1.vid, MAX(t2.prio) AS mx
-                    FROM cnbr e
+                    FROM {p}nbr e
                     JOIN ({tent}) t1 ON t1.vid = e.src
                     JOIN ({tent}) t2 ON t2.vid = e.dst AND t2.t = t1.t
                     GROUP BY t1.vid
                 ) c ON c.vid = t.vid
                 WHERE c.mx IS NULL OR t.prio > c.mx
             ) a ON a.vid = s.vid
-            WHERE EXISTS (SELECT 1 FROM cst u WHERE u.color IS NULL)
+            WHERE EXISTS (SELECT 1 FROM {p}st u WHERE u.color IS NULL)
               AND s.rnd < 200
         ),
-        cfinal AS (
-            SELECT vid, color FROM cst
-            WHERE rnd = (SELECT MAX(rnd) FROM cst)
+        {p}final AS (
+            SELECT vid, color FROM {p}st
+            WHERE rnd = (SELECT MAX(rnd) FROM {p}st)
         )
     """
 

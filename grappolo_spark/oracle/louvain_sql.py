@@ -391,7 +391,8 @@ def resistance_stats_sql(sweeps: int, const_factor: float = 1.0) -> tuple[str, s
 # observed per-phase sweep counts.
 # ---------------------------------------------------------------------------
 
-def louvain_multiphase_sql(schedule, allv: str = "allv") -> tuple[str, str]:
+def louvain_multiphase_sql(schedule, allv: str = "allv",
+                           edges: str = "edges") -> tuple[str, str]:
     """SQL twin of the full convergence ``louvain()`` run.
 
     ``schedule`` = per-phase sweep counts (``PhaseResult.num_iters`` for
@@ -423,7 +424,7 @@ def louvain_multiphase_sql(schedule, allv: str = "allv") -> tuple[str, str]:
     if not schedule or any(k < 1 for k in schedule):
         raise ValueError("schedule must be >= 1 sweeps per phase")
     parts = []
-    edges_rel = "edges"
+    edges_rel = edges
     corig = None
     for p, k in enumerate(schedule, 1):
         pref = f"mp{p}"
@@ -573,3 +574,211 @@ def resistance_multiphase_sql(schedule, edges: str = "edges",
         {nxt_v} AS (SELECT DISTINCT comm AS vid FROM {pref}_c WHERE comm >= 0)""")
             edges_rel, verts_rel = nxt_e, nxt_v
     return ",".join(parts), corig
+
+
+# ---------------------------------------------------------------------------
+# Full coloring-driver twin (ref C12, ``runMultiPhaseColoring.cpp:51-239``)
+# — colored Gauss-Seidel phases + the basic-driver tail, fully unrolled.
+# ---------------------------------------------------------------------------
+
+def _cp_class_cte(j: int, k: int, p: str, edges: str, colors: str) -> str:
+    """One Gauss-Seidel class step: state ``{p}_s{j-1}`` + color class
+    ``k`` -> ``{p}_s{j}``. Mirrors ``operators.louvain.louvain_phase_colored``
+    1:1 (``parallelLouvainWithColoring.cpp:158-262``): community info off
+    the CURRENT state (refreshed after every class), class-restricted
+    candidate weights, reference gain, max-gain/min-cid argmax, singleton
+    swap protection, moves applied in place."""
+    s = f"{p}_s{j - 1}"
+    return f"""
+        {p}_info{j} AS MATERIALIZED (
+            SELECT s.comm, COUNT(*) AS c_size, SUM(d.degree) AS c_degree
+            FROM {s} s JOIN {p}_deg d USING (vid) GROUP BY s.comm
+        ),
+        {p}_cand{j} AS MATERIALIZED (
+            SELECT e.src, sd.comm AS comm_dst, SUM(e.weight) AS eiy
+            FROM {edges} e
+            JOIN {colors} cs ON cs.vid = e.src AND cs.color = {k}
+            JOIN {s} sd ON e.dst = sd.vid
+            GROUP BY e.src, sd.comm
+        ),
+        {p}_base{j} AS MATERIALIZED (
+            SELECT s.vid, s.comm AS sc, d.degree, i.c_size AS size_sc,
+                   COALESCE(c.eiy, 0.0) - COALESCE(sw.self_w, 0.0) AS eix,
+                   i.c_degree - d.degree AS ax
+            FROM {s} s
+            JOIN {colors} cl ON cl.vid = s.vid AND cl.color = {k}
+            JOIN {p}_deg d ON d.vid = s.vid
+            JOIN {p}_info{j} i ON i.comm = s.comm
+            LEFT JOIN {p}_cand{j} c ON c.src = s.vid AND c.comm_dst = s.comm
+            LEFT JOIN {p}_self sw ON sw.vid = s.vid
+        ),
+        {p}_scored{j} AS (
+            SELECT b.vid, b.sc, c.comm_dst, b.size_sc, iy.c_size AS size_y,
+                   (2.0 * (c.eiy - b.eix))
+                   - (2.0 * b.degree * (iy.c_degree - b.ax)
+                      * (SELECT cf.c FROM {p}_cf cf)) AS gain
+            FROM {p}_cand{j} c
+            JOIN {p}_base{j} b ON b.vid = c.src
+            JOIN {p}_info{j} iy ON iy.comm = c.comm_dst
+            WHERE c.comm_dst <> b.sc
+        ),
+        {p}_best{j} AS (
+            SELECT vid, cand_comm, cand_size FROM (
+                SELECT vid, comm_dst AS cand_comm, size_y AS cand_size,
+                       ROW_NUMBER() OVER (PARTITION BY vid
+                                          ORDER BY gain DESC, comm_dst ASC) AS rn
+                FROM {p}_scored{j} WHERE gain > 0
+            ) WHERE rn = 1
+        ),
+        {p}_s{j} AS MATERIALIZED (
+            SELECT s.vid, CAST(COALESCE(m.new_comm, s.comm) AS BIGINT) AS comm
+            FROM {s} s LEFT JOIN (
+                SELECT b.vid, t.cand_comm AS new_comm
+                FROM {p}_base{j} b JOIN {p}_best{j} t USING (vid)
+                WHERE NOT (t.cand_size = 1 AND b.size_sc = 1
+                           AND t.cand_comm > b.sc)
+            ) m USING (vid)
+        )"""
+
+
+def colored_phase_sql(num_iters: int, n_colors: int, prefix: str,
+                      edges: str, colors: str) -> tuple[str, str]:
+    """One color-staged phase unrolled: ``num_iters`` full sweeps, each
+    processing color classes 0..n_colors-1 in ascending order (an empty or
+    absent class step is the identity, so unrolling every class is safe —
+    the engine's live-colors skip is a pure optimization). The returned
+    state is POST-sweep (Gauss-Seidel in-place semantics), so all
+    ``num_iters * n_colors`` class steps apply — no pastCommAss offset.
+    State covers the edge-incident vertices (singleton init off degrees).
+    """
+    if num_iters < 1 or n_colors < 1:
+        raise ValueError("num_iters and n_colors must be >= 1")
+    parts = [f"""
+        {prefix}_deg AS MATERIALIZED (
+            SELECT src AS vid, SUM(weight) AS degree FROM {edges} GROUP BY src
+        ),
+        {prefix}_cf AS (SELECT 1.0 / SUM(weight) AS c FROM {edges}),
+        {prefix}_self AS MATERIALIZED (
+            SELECT src AS vid, SUM(weight) AS self_w FROM {edges}
+            WHERE src = dst GROUP BY src
+        ),
+        {prefix}_s0 AS MATERIALIZED (
+            SELECT vid, CAST(vid AS BIGINT) AS comm FROM {prefix}_deg
+        )"""]
+    j = 0
+    for _ in range(num_iters):
+        for k in range(n_colors):
+            j += 1
+            parts.append(_cp_class_cte(j, k, prefix, edges, colors))
+    return ",".join(parts), f"{prefix}_s{j}"
+
+
+def louvain_coloring_full_sql(colored, tail, edges: str = "edges",
+                              allv: str = "allv",
+                              tail_on_input: bool = False) -> tuple[str, str]:
+    """SQL twin of the ENTIRE ``louvain_coloring()`` run (ref C12).
+
+    ``colored`` = per-colored-phase (num_iters, n_colors) pairs and
+    ``tail`` = the basic driver's per-phase sweep counts, both observed by
+    replaying the identical loop in the numpy oracle
+    (``oracle.coloring_np.louvain_coloring_schedule_np``). As everywhere in
+    this module the counts are unroll DEPTHS only — the coloring itself is
+    recomputed per phase by DuckDB (``coloring_sql.distance1_cte``, the
+    proven JP twin), as are all gains/renumbers/coarse weights; the whole
+    statement must run under ``WITH RECURSIVE``.
+
+    Chain: per colored phase — JP coloring of the current graph -> colored
+    Gauss-Seidel phase (``colored_phase_sql``) -> full-vertex -1 fill ->
+    -1-aware first-occurrence renumber -> C_orig projection -> coarsen;
+    then the basic driver (``louvain_multiphase_sql``) on the final coarse
+    graph, its result projected into C_orig, and a final -1-aware renumber
+    (exactly ``operators/louvain.py:louvain_coloring``).
+    """
+    from .coloring_sql import distance1_cte
+
+    colored = list(colored)
+    parts = []
+    edges_rel, verts_rel = edges, allv
+    prev_edges, prev_verts = edges, allv
+    corig = None
+    for p, (iters, ncol) in enumerate(colored, 1):
+        prev_edges, prev_verts = edges_rel, verts_rel
+        parts.append(distance1_cte(edges_rel, p=f"cl{p}"))
+        # materialize the recursive coloring's result: every class step
+        # references it, and re-running the whole recursive CTE per
+        # reference is O(class steps) full recolorings
+        parts.append(f"""
+        cl{p}colors AS MATERIALIZED (SELECT vid, color FROM cl{p}final)""")
+        pref = f"cp{p}"
+        ctes, fin = colored_phase_sql(iters, ncol, pref, edges_rel,
+                                      f"cl{p}colors")
+        parts.append(ctes)
+        # full fill (isolated -> -1) + -1-aware first-occurrence renumber
+        parts.append(f"""
+        {pref}_full AS (
+            SELECT v.vid, CAST(COALESCE(s.comm, -1) AS BIGINT) AS comm
+            FROM {verts_rel} v LEFT JOIN {fin} s USING (vid)
+        ),
+        {pref}_rmap AS (
+            SELECT comm, ROW_NUMBER() OVER (ORDER BY first_vid) - 1 AS new_comm
+            FROM (SELECT comm, MIN(vid) AS first_vid FROM {pref}_full
+                  WHERE comm >= 0 GROUP BY comm)
+        ),
+        {pref}_c AS MATERIALIZED (
+            SELECT s.vid, CAST(COALESCE(m.new_comm, s.comm) AS BIGINT) AS comm
+            FROM {pref}_full s LEFT JOIN {pref}_rmap m USING (comm)
+        )""")
+        if p == 1:
+            corig = f"{pref}_c"
+        else:
+            parts.append(f"""
+        {pref}_o AS MATERIALIZED (
+            SELECT o.vid,
+                   CAST(CASE WHEN o.comm >= 0 THEN m.comm
+                             ELSE o.comm END AS BIGINT) AS comm
+            FROM {corig} o LEFT JOIN {pref}_c m ON m.vid = o.comm
+        )""")
+            corig = f"{pref}_o"
+        nxt_e, nxt_v = f"cpe{p + 1}", f"cpv{p + 1}"
+        parts.append(f"""
+        {nxt_e} AS MATERIALIZED (
+            SELECT cs.comm AS src, cd.comm AS dst, SUM(e.weight) AS weight
+            FROM {edges_rel} e
+            JOIN {pref}_c cs ON e.src = cs.vid
+            JOIN {pref}_c cd ON e.dst = cd.vid
+            GROUP BY cs.comm, cd.comm
+        ),
+        {nxt_v} AS (SELECT DISTINCT comm AS vid FROM {pref}_c WHERE comm >= 0)""")
+        edges_rel, verts_rel = nxt_e, nxt_v
+
+    # a no-move / fixpoint break hands the UNcoarsened last-phase input
+    # to the basic tail (the driver breaks before coarsening)
+    t_edges = prev_edges if tail_on_input else edges_rel
+    t_verts = prev_verts if tail_on_input else verts_rel
+    mp_ctes, mp_fin = louvain_multiphase_sql(tail, allv=t_verts,
+                                             edges=t_edges)
+    parts.append(mp_ctes)
+    if corig is None:
+        # no colored phase ran (nv <= min_graph_size): the driver is the
+        # basic tail on the original graph plus the final renumber
+        parts.append(f"""
+        cpt AS (SELECT vid, comm FROM {mp_fin})""")
+    else:
+        parts.append(f"""
+        cpt AS (
+            SELECT o.vid,
+                   CAST(CASE WHEN o.comm >= 0 THEN m.comm
+                             ELSE o.comm END AS BIGINT) AS comm
+            FROM {corig} o LEFT JOIN {mp_fin} m ON m.vid = o.comm
+        )""")
+    parts.append("""
+        cpf_rmap AS (
+            SELECT comm, ROW_NUMBER() OVER (ORDER BY first_vid) - 1 AS new_comm
+            FROM (SELECT comm, MIN(vid) AS first_vid FROM cpt
+                  WHERE comm >= 0 GROUP BY comm)
+        ),
+        cpfinal AS (
+            SELECT s.vid, CAST(COALESCE(m.new_comm, s.comm) AS BIGINT) AS comm
+            FROM cpt s LEFT JOIN cpf_rmap m USING (comm)
+        )""")
+    return ",".join(parts), "cpfinal"
