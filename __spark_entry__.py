@@ -926,6 +926,49 @@ def _q_stream_edge_etl(spark, sf):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_stream_sessions(spark, sf):
+    """Custom stateful streaming operator (``applyInPandasWithState``,
+    grappolo_spark/streaming.py:266) driven to final state: per-
+    conversation session tracking over the transcript stream in multiple
+    micro-batches (maxFilesPerTrigger=1). State is monotone (turn count
+    only grows), so the last update per conversation — max_by(n_turns) —
+    IS the final session state, which equals a plain GROUP BY over the
+    batch table; the DuckDB twin therefore hash-gates the stateful path
+    end-to-end. Timestamps are string-formatted on BOTH sides so the
+    comparison is wall-clock, independent of session-zone handling of the
+    parquet NTZ column."""
+    import shutil
+    import tempfile
+
+    from grappolo_spark import streaming as S
+
+    tr = T.transcripts_from_events(spark, sf)
+    base = tempfile.mkdtemp(prefix="grappolo_stream_sessions_")
+    try:
+        tr.repartition(4).write.mode("overwrite").parquet(f"{base}/in")
+        stream = S.read_transcript_stream(
+            spark, f"{base}/in", max_files_per_trigger=1
+        )
+        updates, _q = S.stream_conversation_sessions(spark, stream)
+        final = (
+            updates.groupBy("conv_id")
+            .agg(
+                F.max_by(
+                    F.struct("n_turns", "last_turn_idx", "last_ts"), "n_turns"
+                ).alias("s")
+            )
+            .select(
+                "conv_id",
+                F.col("s.n_turns").alias("n_turns"),
+                F.col("s.last_turn_idx").alias("last_turn_idx"),
+                F.date_format("s.last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            )
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph core (SURVEY §2.1/§2.4/§2.2)
@@ -1019,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch-only — grappolo_spark/streaming.py)
         "stream_event_rollup": _q_stream_event_rollup,
         "stream_edge_etl": _q_stream_edge_etl,
+        "stream_conversation_sessions": _q_stream_sessions,
     }
 
 
@@ -2644,6 +2688,19 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(value), 6) AS sum_value
         FROM events
         GROUP BY 1, 2
+    """
+
+    # final state of the monotone per-conversation session tracker ==
+    # plain GROUP BY over the same transcript rows (docstring of
+    # _q_stream_sessions); COUNT(*) cast to match the long state column
+    sql["stream_conversation_sessions"] = f"""
+        WITH {_TR}
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(MAX(turn_idx) AS INTEGER) AS last_turn_idx,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+        FROM tr
+        GROUP BY 1
     """
 
     sql["nation_revenue"] = """
