@@ -1,0 +1,67 @@
+"""Static gate on the driver contract (__spark_entry__.py).
+
+The driver's correctness sweep is only as good as the wiring: a query
+registered without its oracle silently downgrades to a rows-only check,
+and an oracle with a typo fails at driver time, not test time. This
+module catches both without spinning up Spark:
+
+- every ``oracle_sql()`` key names a registered query, and every query
+  either has an oracle or sits in the documented rows-only allowlist;
+- every oracle SQL string parses and plans in DuckDB against views over
+  the real sf0.001 parquet tables (schema-accurate, zero Spark cost —
+  EXPLAIN binds columns and functions without executing).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entry  # noqa: E402
+
+SF_DIR = pathlib.Path("/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# queries whose results are not SQL-reproducible (docstring on each
+# explains why); the driver records a weaker rows-only check for these
+ROWS_ONLY = {"stream_edge_etl"}
+
+
+def test_every_oracle_has_a_query():
+    q, o = set(entry.queries()), set(entry.oracle_sql())
+    assert o <= q, f"oracles without queries: {sorted(o - q)}"
+
+
+def test_every_query_has_an_oracle_or_is_allowlisted():
+    q, o = set(entry.queries()), set(entry.oracle_sql())
+    missing = q - o - ROWS_ONLY
+    assert not missing, f"queries without oracles: {sorted(missing)}"
+    stale = ROWS_ONLY & o
+    assert not stale, f"allowlisted but has an oracle now: {sorted(stale)}"
+
+
+@pytest.mark.skipif(not SF_DIR.is_dir(), reason="testdata not present")
+def test_oracle_sql_parses_and_binds():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = SF_DIR / f"{t}.parquet"
+        if p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    bad = []
+    for name, sql in entry.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # noqa: BLE001 — collect every failure
+            bad.append(f"{name}: {exc}")
+    assert not bad, "\n".join(bad)
