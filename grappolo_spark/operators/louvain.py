@@ -942,6 +942,12 @@ def louvain(
     ``minGraphSize`` (``runMultiPhaseColoring.cpp:174``); results are
     bit-identical either way (tests/test_louvain.py covers the seam).
     Set ``driver_tail_nv=0`` to force fully-distributed phases.
+
+    Driver memory bound: the tail collects at most ``driver_tail_edges``
+    (src, dst, weight) tuples — ~50 MB of Python objects at the 2M
+    default — plus the numpy CSR the oracle builds (~50 MB more). Both
+    ceilings are caller-tunable; a driver sized for Spark's own default
+    (1 GiB) absorbs the defaults with an order of magnitude to spare.
     """
     from grappolo_spark.oracle.numpy_oracle import louvain_multiphase_np
     g_edges, g_nv = edges, nv
