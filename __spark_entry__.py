@@ -538,6 +538,16 @@ def _q_simhash_near_pairs(spark, sf):
     return TX.simhash_near_pairs(TX.simhash(docs))
 
 
+def _simhash_band_union(bits: int = 60, max_hamming: int = 3) -> str:
+    """DuckDB twin of ``text.simhash_bands``: one SELECT per band over the
+    sh64 CTE, same shifts/masks as the Spark banding."""
+    return "\n            UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band,"
+        f" (simhash >> {sh}) & {mask} AS band_val FROM sh64"
+        for i, sh, mask in TX.simhash_bands(bits, max_hamming)
+    )
+
+
 def _q_vf_pipeline(spark, sf):
     """VF → renumber → VF-coarsened graph (driverForGraphClustering.cpp:
     111-131) as one query: the coarse edge table with self-loops dropped."""
@@ -896,21 +906,24 @@ def _q_stream_event_rollup(spark, sf):
 
 
 def _q_stream_edge_etl(spark, sf):
-    """Incremental transcript→edge ETL: stream the deterministic synth
-    corpus through the foreachBatch delta store, compact, return the
-    symmetric edge table. Rows-only for the driver (vertex keys are
-    xxhash64, not SQL-reproducible without re-deriving the whole synth
-    corpus in SQL); exact batch parity is the pytest gate
+    """Incremental transcript→edge ETL: stream the events-derived
+    transcript table through the foreachBatch delta store in multiple
+    micro-batches (maxFilesPerTrigger=1), compact, and relabel the
+    xxhash64 vertex keys with their natural (conv#turn / tool) labels via
+    an exact key join against the batch input. The labeled output is
+    SQL-reproducible, so the DuckDB twin hash-gates the streamed store
+    end-to-end (round-2 fix: this query was the last rows-only one —
+    the label join removes the xxh64-in-SQL obstacle entirely). Exact
+    hashed-key batch parity stays pytest-gated
     (tests/test_streaming.py::test_incremental_edge_etl_matches_batch)."""
     import shutil
     import tempfile
 
     from grappolo_spark import streaming as S
-    from grappolo_spark.synth import synth_transcripts
 
+    tr = T.transcripts_from_events(spark, sf)
     base = tempfile.mkdtemp(prefix="grappolo_stream_etl_")
     try:
-        tr = synth_transcripts(spark, n_convs=300, max_turns=12)
         tr.repartition(3).write.mode("overwrite").parquet(f"{base}/in")
         stream = S.read_transcript_stream(
             spark, f"{base}/in", max_files_per_trigger=1
@@ -918,10 +931,33 @@ def _q_stream_edge_etl(spark, sf):
         S.run_incremental_edge_etl(
             spark, stream, f"{base}/store", f"{base}/ckpt", window=4
         )
-        # materialize before the tmp dir disappears
-        return S.compact_edge_store(spark, f"{base}/store").localCheckpoint(
-            eager=True
+        edges = S.compact_edge_store(spark, f"{base}/store")
+        turn_labels = tr.select(
+            S.turn_key(F.col("conv_id"), F.col("turn_idx")).alias("key"),
+            F.concat(
+                F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string")
+            ).alias("label"),
+        ).distinct()
+        tool_labels = (
+            tr.filter(F.col("tool").isNotNull())
+            .select(
+                S.tool_key(F.col("tool")).alias("key"),
+                F.concat(F.lit("tool:"), F.col("tool")).alias("label"),
+            )
+            .distinct()
         )
+        vmap = turn_labels.unionByName(tool_labels)
+        out = (
+            edges.join(
+                vmap.select(F.col("key").alias("src"),
+                            F.col("label").alias("src_label")), "src")
+            .join(
+                vmap.select(F.col("key").alias("dst"),
+                            F.col("label").alias("dst_label")), "dst")
+            .select("src_label", "dst_label", "weight")
+        )
+        # materialize before the tmp dir disappears
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -970,99 +1006,96 @@ def _q_stream_sessions(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One entry per implemented query/operator (SURVEY §2 coverage).
+
+    ORDER = measured CHEAPEST FIRST (spark+oracle seconds at sf0.01, full
+    sweep of scripts/verify_queries.py, round-3 session): the driver's
+    correctness sweep runs this dict in order under a budget, and the
+    round-2 sweep ran out mid-registry — dropping the whole tail of
+    subsystems from CORRECTNESS_r02.json. Cheapest-first guarantees a
+    budget cut can only shave the few most expensive full-convergence
+    runs (each of which has a cheap fixed-budget twin that by then has
+    already passed), never an entire subsystem. Keep new entries placed
+    by measured cost, not by topic.
+    """
     return {
-        # graph core (SURVEY §2.1/§2.4/§2.2)
-        "graph_edge_table": _q_edges,
-        "graph_degrees": _q_degrees,
-        "graph_stats": _q_graph_stats,
-        # triangles (C19 seed)
-        "triangles_per_vertex": _q_triangles_pv,
-        "triangles_total": _q_triangles_total,
-        # community machinery (W1, C11, A6, A9, A11/C18)
-        "communities_renumber": _q_brand_communities,
-        "modularity": _q_brand_modularity,
-        "coarsen": _q_brand_coarsen,
-        "gini": _q_brand_gini,
-        "cluster_fscore": _q_brand_type_fscore,
-        # similarity / sparsification (C19, T3)
-        "edge_jaccard": _q_jaccard,
-        "sparsify_topk": _q_sparsify,
-        # connected components (C20 seed)
-        "connected_components": _q_cc,
-        # ETL window shape (engine source)
-        "event_transitions": _q_event_transitions,
-        # transcript ETL (north-rule input: conv_id/turn_idx/role/text/tool/ts)
-        "transcript_table": _q_transcript_table,
-        "transcript_reply_edges": _q_transcript_edges,
-        "transcript_context_edges": _q_transcript_context_edges,
-        "transcript_text_integrity": _q_transcript_text_integrity,
-        "transcript_pagerank": _q_transcript_pagerank,
-        # training-data pipeline: documents
-        "dedup_exact": _q_dedup_exact,
-        "text_stats": _q_text_stats,
+        # --- sub-second: LLM-pipeline codegen passes, tiny aggregates ----
         "token_count_bpe": _q_token_count_bpe,
-        "doc_fingerprint": _q_fingerprint,
-        "simhash": _q_simhash,
-        "minhash_signatures": _q_minhash_sigs,
-        "minhash_lsh_pairs": _q_lsh_pairs,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "repetition_stats": _q_repetition_stats,
-        "contamination_hits": _q_contamination_hits,
-        "documents_decontaminated": _q_documents_decontaminated,
-        "dedup_near_clusters": _q_dedup_near_clusters,
-        "documents_clean": _q_documents_clean,
         "hash_split": _q_hash_split,
-        "token_chunks": _q_token_chunks,
-        # training-data pipeline: embeddings
-        "embed_cosine_topk": _q_embed_topk,
+        "frame_sample": _q_frame_sample,                # multimodal (§2.10)
+        "dedup_exact": _q_dedup_exact,
         "embed_centroids": _q_embed_centroids,
-        "embed_near_dup_pairs": _q_embed_near_dups,
-        # relational primitives
-        "pricing_summary": _q_pricing_summary,
-        "top_orders_revenue": _q_top_orders,
-        "nation_revenue": _q_nation_revenue,
-        # preprocessing (C17) — SQL-expressible single pass
-        "vertex_following": _q_vertex_following,
-        "vf_pipeline_coarse": _q_vf_pipeline,
-        # Louvain greedy init (the reference's initCommAss pass) — SQL gate
-        # on the gain kernel
-        "louvain_greedy_init": _q_louvain_init,
-        "simhash_near_pairs": _q_simhash_near_pairs,
-        # iterative graph algorithms — rows-only (pytest exactness gate)
-        "pagerank": _q_pagerank,
-        "personalized_pagerank": _q_personalized_pagerank,
-        "louvain_communities": _q_louvain,
-        "louvain_arrow": _q_louvain_arrow,
-        # bounded sweep chain — DuckDB-green gate on the sweep kernel in
-        # BOTH execution paths (shared unrolled SQL twin)
-        "louvain_sweeps": _q_louvain_sweeps,
-        "louvain_sweeps_arrow": _q_louvain_sweeps_arrow,
-        # fixed-budget multi-phase step (sweeps -> renumber -> coarsen ->
-        # sweeps -> project) — DuckDB-green gate on the phase-chaining
-        # mechanism itself
-        "louvain_two_phase": _q_louvain_two_phase,
-        "louvain_colored": _q_louvain_colored,
-        "graph_coloring": _q_coloring,
-        "coloring_maxmin": _q_coloring_maxmin,
-        "coloring_balanced": _q_coloring_balanced,
-        "color_stats": _q_color_stats,
-        "directed_louvain": _q_directed_louvain,
-        "directed_louvain_sweeps": _q_directed_louvain_sweeps,
-        "louvain_resistance_sweeps": _q_louvain_resistance_sweeps,
-        "louvain_resistance": _q_louvain_resistance,
-        "label_propagation": _q_labelprop,
-        "rcm_ordering": _q_rcm,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "multimodal_metadata": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
+        "communities_renumber": _q_brand_communities,   # W1
+        "event_transitions": _q_event_transitions,
+        "pricing_summary": _q_pricing_summary,
+        "transcript_table": _q_transcript_table,        # north-rule input
+        "token_chunks": _q_token_chunks,
         "multimodal_resize": _q_multimodal_resize,
-        "frame_sample": _q_frame_sample,
-        # Structured Streaming surface (engine addition; reference is
-        # batch-only — grappolo_spark/streaming.py)
+        "gini": _q_brand_gini,                          # A9
+        "text_stats": _q_text_stats,
+        "top_orders_revenue": _q_top_orders,
+        "multimodal_metadata": _q_multimodal_meta,
+        "doc_fingerprint": _q_fingerprint,
+        # --- 1-3 s: joins/aggs, ANN, dedup pipeline stages ---------------
+        "cluster_fscore": _q_brand_type_fscore,         # A11/C18
+        "ann_lsh_topk": _q_ann_lsh,
+        "nation_revenue": _q_nation_revenue,
+        "coarsen": _q_brand_coarsen,                    # C11
+        "ann_ivf_topk": _q_ann_ivf,
+        "graph_degrees": _q_degrees,                    # A1/A2
+        "embed_cosine_topk": _q_embed_topk,
+        "graph_stats": _q_graph_stats,                  # A13
+        "modularity": _q_brand_modularity,              # A6
+        "repetition_stats": _q_repetition_stats,
+        "simhash": _q_simhash,
+        "embed_near_dup_pairs": _q_embed_near_dups,
+        "simhash_near_pairs": _q_simhash_near_pairs,
+        "transcript_text_integrity": _q_transcript_text_integrity,
+        "minhash_signatures": _q_minhash_sigs,
+        "documents_decontaminated": _q_documents_decontaminated,
+        "stream_edge_etl": _q_stream_edge_etl,          # streaming (§2.9)
+        "minhash_lsh_pairs": _q_lsh_pairs,
+        "contamination_hits": _q_contamination_hits,
         "stream_event_rollup": _q_stream_event_rollup,
-        "stream_edge_etl": _q_stream_edge_etl,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        # --- 3-10 s: graph core, preprocessing, bounded kernels ----------
+        "triangles_total": _q_triangles_total,          # NS4
+        "vertex_following": _q_vertex_following,        # C17
+        "louvain_greedy_init": _q_louvain_init,
+        "label_propagation": _q_labelprop,              # NS3
+        "coloring_maxmin": _q_coloring_maxmin,          # C15
+        "transcript_context_edges": _q_transcript_context_edges,
+        "triangles_per_vertex": _q_triangles_pv,
+        "graph_edge_table": _q_edges,                   # §2.1
         "stream_conversation_sessions": _q_stream_sessions,
+        "edge_jaccard": _q_jaccard,                     # C19
+        "vf_pipeline_coarse": _q_vf_pipeline,
+        "dedup_near_clusters": _q_dedup_near_clusters,
+        "louvain_sweeps_arrow": _q_louvain_sweeps_arrow,  # C2 fixed-budget
+        # --- 10-30 s: fixed-budget variant twins, iterative seeds --------
+        "documents_clean": _q_documents_clean,
+        "louvain_sweeps": _q_louvain_sweeps,            # C1-C4 fixed-budget
+        "transcript_reply_edges": _q_transcript_edges,
+        "louvain_resistance_sweeps": _q_louvain_resistance_sweeps,  # C9
+        "directed_louvain_sweeps": _q_directed_louvain_sweeps,      # C8
+        "personalized_pagerank": _q_personalized_pagerank,
+        "sparsify_topk": _q_sparsify,                   # T3
+        # --- 30 s+: full-convergence runs (each kernel above already
+        # --- gated by its cheap fixed-budget twin) -----------------------
+        "color_stats": _q_color_stats,                  # A12
+        "pagerank": _q_pagerank,                        # NS1
+        "coloring_balanced": _q_coloring_balanced,      # C16
+        "louvain_arrow": _q_louvain_arrow,
+        "louvain_two_phase": _q_louvain_two_phase,      # C10
+        "graph_coloring": _q_coloring,                  # C14
+        "transcript_pagerank": _q_transcript_pagerank,
+        "connected_components": _q_cc,                  # C20/NS2
+        "louvain_resistance": _q_louvain_resistance,    # C9 full
+        "louvain_communities": _q_louvain,              # C1-C11 full
+        "rcm_ordering": _q_rcm,                         # W4/C21
+        "louvain_colored": _q_louvain_colored,          # C6/C12 full
+        "directed_louvain": _q_directed_louvain,        # C8 full
     }
 
 
@@ -2054,11 +2087,14 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE 0 END) AS BIGINT) AS simhash
             FROM scores GROUP BY doc_id
         ),
-        bucketed AS (SELECT doc_id, simhash, simhash >> 40 AS bucket FROM sh64)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        bands AS (
+            {_simhash_band_union()}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        FROM bucketed a JOIN bucketed b
-          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
 
@@ -2701,6 +2737,38 @@ def oracle_sql() -> dict[str, str]:
                strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
         FROM tr
         GROUP BY 1
+    """
+
+    # batch twin of the streamed delta store: window-4 context edges +
+    # tool edges over the events-derived transcripts, canonical-orientation
+    # weight sum, both directions emitted — expressed on natural labels
+    # (conv#turn / tool:name), matching the query's key-join relabeling
+    sql["stream_edge_etl"] = f"""
+        WITH {_TR},
+        turns AS (SELECT DISTINCT conv_id, turn_idx FROM tr),
+        ctx AS (
+            SELECT t.conv_id || '#' || t.turn_idx AS src,
+                   t.conv_id || '#' || (t.turn_idx - k.k) AS dst
+            FROM turns t, (SELECT UNNEST(range(1, 5)) AS k) k
+            WHERE t.turn_idx - k.k >= 0
+        ),
+        tool_e AS (
+            SELECT conv_id || '#' || turn_idx AS src, 'tool:' || tool AS dst
+            FROM tr WHERE tool IS NOT NULL
+        ),
+        directed AS (
+            SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS weight
+            FROM (SELECT * FROM ctx UNION ALL SELECT * FROM tool_e)
+            GROUP BY 1, 2
+        ),
+        canon AS (
+            SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+                   SUM(weight) AS weight
+            FROM directed GROUP BY 1, 2
+        )
+        SELECT u AS src_label, v AS dst_label, weight FROM canon
+        UNION ALL
+        SELECT v, u, weight FROM canon WHERE u <> v
     """
 
     sql["nation_revenue"] = """

@@ -520,21 +520,54 @@ def decontaminate(
     return train.join(hits.select("doc_id"), "doc_id", "left_anti")
 
 
-def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 20) -> DataFrame:
-    """SimHash near-dup candidates: bucket by the top ``prefix_bits`` bits
-    (hub-bounded shuffle key), verify Hamming distance ≤ max_hamming via
-    bit_count(xor) inside the bucket."""
-    bucketed = sim.withColumn(
-        "bucket", F.shiftright(F.col("simhash"), 60 - prefix_bits)
+def simhash_bands(bits: int = 60, max_hamming: int = 3) -> list[tuple[int, int, int]]:
+    """(band_idx, right_shift, mask) for splitting a ``bits``-bit simhash
+    into ``max_hamming + 1`` contiguous bands. Pigeonhole: a pair with
+    Hamming distance ≤ max_hamming differs in at most max_hamming bands,
+    so it matches EXACTLY on at least one — band-bucketed candidate
+    generation is therefore complete, unlike a single top-prefix bucket."""
+    n_bands = max_hamming + 1
+    base, rem = divmod(bits, n_bands)
+    out, used = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < rem else 0)
+        used += w
+        out.append((i, bits - used, (1 << w) - 1))
+    return out
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, bits: int = 60) -> DataFrame:
+    """ALL SimHash pairs with Hamming distance ≤ ``max_hamming``.
+
+    Complete AND bucketed: the hash is split into ``max_hamming + 1``
+    bands; any qualifying pair shares ≥ 1 exact band (pigeonhole), so
+    banding loses no pair, while candidates are still generated by a
+    band-keyed self-join — never all-pairs. bit_count(xor) verifies
+    inside the bucket; DISTINCT collapses pairs that match on several
+    bands. (Round-2 fix: the old top-20-bit prefix bucket silently
+    dropped pairs differing in the prefix.)
+    """
+    band_cols = [
+        F.shiftright(F.col("simhash"), sh).bitwiseAND(F.lit(mask))
+        for _, sh, mask in simhash_bands(bits, max_hamming)
+    ]
+    banded = sim.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*band_cols)).alias("band", "band_val"),
     )
-    a = bucketed.select("bucket", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = bucketed.select("bucket", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    a = banded.select(
+        "band", "band_val",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = banded.select(
+        "band", "band_val",
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a", "doc_b",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

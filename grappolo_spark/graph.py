@@ -59,11 +59,15 @@ def assign_dense_ids(
         )
     )
     w = Window.partitionBy("_pid").orderBy(*key_cols)
-    return (
+    out = (
         parted.withColumn("_rn", F.row_number().over(w) - 1)
         .join(offsets_df, "_pid")
         .select(*key_cols, (F.col("_rn") + F.col("_offset")).alias(id_col))
     )
+    # the per-partition counts already told us the total — stash it so
+    # callers (renumber) don't need an extra count() job
+    out._dense_id_count = acc - start
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..graph import assign_dense_ids
 from ..lineage import cut_lineage, pin_partitioned, release
 
 
@@ -76,15 +77,19 @@ def renumber(c: DataFrame) -> tuple[DataFrame, int]:
     """
     pos = c.filter(F.col("comm") >= 0)
     firsts = pos.groupBy("comm").agg(F.min("vid").alias("first_vid"))
-    w = Window.orderBy("first_vid")
-    # the mapping table is |communities| rows — tiny relative to |V|; the
-    # global window runs on it, not on the vertex table, then broadcasts
-    mapping = firsts.select(
-        "comm", (F.dense_rank().over(w) - 1).alias("new_comm")
-    )
-    num_clusters = mapping.count()
+    # first_vid is unique per community (a vid belongs to exactly one comm),
+    # so the scalable two-pass range-partitioned rank over first_vid equals
+    # the dense_rank of the old global window — same total order, no
+    # single-partition Exchange even when |communities| ~ |V| after phase 1
+    ids = assign_dense_ids(firsts, ["first_vid"], id_col="new_comm")
+    num_clusters = ids._dense_id_count
+    mapping = firsts.join(ids, "first_vid").select("comm", "new_comm")
+    # broadcast the mapping only while it actually fits; past that, fall
+    # back to a shuffled join (AQE may still promote it at runtime)
+    if num_clusters <= 20_000_000:
+        mapping = F.broadcast(mapping)
     out = (
-        c.join(F.broadcast(mapping), "comm", "left")
+        c.join(mapping, "comm", "left")
         .select("vid", F.coalesce("new_comm", F.col("comm")).alias("comm"))
     )
     return out, num_clusters
@@ -365,6 +370,7 @@ def louvain_phase(
     prepared: tuple[DataFrame, DataFrame, float, DataFrame] | None = None,
     kernel_agg: bool = False,
     fuse_state: bool = False,
+    chain_sweeps: int = 1,
 ) -> PhaseResult:
     """One Louvain phase with exact reference SFP-path semantics.
 
@@ -401,6 +407,26 @@ def louvain_phase(
     storage-constrained clusters where a |V|-row checkpoint write per
     sweep is the scarcer resource. Bit-identical either way (pytest).
 
+    ``chain_sweeps`` (arrow path, no durable checkpoint): run the sweeps
+    in lazily-chained batches of this size — one Spark action per batch
+    instead of two eager materializations per sweep, with every per-sweep
+    intermediate ``persist()``-ed (the PageRank ``cut_every`` pattern
+    applied to Louvain). Per-sweep stats still ride Observations; stop
+    conditions are evaluated post-batch, and the returned PhaseResult
+    (assignment, num_iters, trajectory) is truncated to the exact sweep
+    the unchained loop would have stopped at — a sweep at a fixed point
+    is a no-op, so overshoot cannot change the assignment (pytest-gated
+    bit-equality: tests/test_louvain.py). Measured and REJECTED as the
+    default at BOTH scales: unlike PageRank's linear superstep plan, the
+    Louvain sweep consumes its state twice (message join + cogroup), so
+    chaining k sweeps builds a 2^k-path plan tree — Catalyst analysis
+    alone goes pathological past k≈4 (clamped), and under AQE every
+    exchange already runs as its own stage-job so no driver round-trips
+    are actually saved: karate 17s→59s (chain 1→2), 61M-row bench corpus
+    166s→182s. Kept as the documented experiment closing round-2 item #4;
+    the honest residual is the per-superstep constant, decomposed in
+    BENCH.md.
+
     ``hub_salt``: explicit skew handling for hub vertices (the engine twin
     of the reference GPU port's degree-binned execution,
     ``binWiseGaussSeidel.cu:104-128``): the J1+A3 candidate aggregation
@@ -410,6 +436,12 @@ def louvain_phase(
     values are identical for integer-valued weights (float64-exact); AQE's
     skew-join handling covers the join side either way.
     """
+    if method == "arrow" and chain_sweeps > 1 and checkpoint is None:
+        return _louvain_phase_arrow_chained(
+            spark, edges, nv, lower=lower, max_inner=max_inner,
+            sample_pct=sample_pct, hub_salt=hub_salt, prepared=prepared,
+            kernel_agg=kernel_agg, chain_sweeps=chain_sweeps,
+        )
     if prepared is not None:
         edges, deg, two_m, selfw = prepared
     else:
@@ -713,6 +745,175 @@ def louvain_phase(
     return PhaseResult(c_full, prev_mod, num_iters, change, trajectory)
 
 
+def _louvain_phase_arrow_chained(
+    spark: SparkSession,
+    edges: DataFrame,
+    nv: int,
+    lower: float = -1.0,
+    max_inner: int = 25,
+    sample_pct: float | None = None,
+    hub_salt: int | None = None,
+    prepared=None,
+    kernel_agg: bool = False,
+    chain_sweeps: int = 5,
+) -> PhaseResult:
+    """Chained-batch twin of the arrow path of ``louvain_phase``: see the
+    ``chain_sweeps`` paragraph of its docstring. The plan per sweep is the
+    SAME construction (info → state → message join → candidate agg →
+    cogrouped kernel → observe), but state/target are lazy ``persist()``
+    nodes instead of eager checkpoints and one action per batch
+    materializes the whole chain. The per-batch boundary cuts lineage so
+    chained stats cannot compound across batches.
+    """
+    from ..lineage import _ckpt_level
+
+    # each lazily-chained sweep references its predecessor TWICE (the info/
+    # state join side and the cogroup side), so Catalyst's tree-walking
+    # analysis visits 2^k paths for a k-deep chain: k=4 (16 paths) is
+    # measured fine, k=8 (256 paths) pathological (minutes of driver-side
+    # planning on a 6-vertex fixture). Clamp rather than trust the caller.
+    chain_sweeps = min(int(chain_sweeps), 4)
+
+    if prepared is not None:
+        edges, deg, two_m, selfw = prepared
+    else:
+        edges, deg, two_m, selfw = louvain_prepare(edges)
+    const = 1.0 / two_m if two_m > 0 else 0.0
+    level = _ckpt_level()
+    nblocks = spark.sparkContext.defaultParallelism
+
+    curr = cut_lineage(louvain_init(edges, deg, const))
+    vattr = deg.join(selfw, "vid", "left").select(
+        "vid", "degree", F.coalesce("self_w", F.lit(0.0)).alias("self_w")
+    )
+    init_ck = curr
+    curr2 = cut_lineage(curr.join(vattr, "vid"))
+    release(init_ck)
+    backing = curr2          # materialized assignment BEFORE the open batch
+    prev_final = curr2       # assignment the next sweep will read
+
+    prev_mod = -1.0
+    change = False
+    num_iters = 0
+    trajectory = []
+    stopped = False
+    final_read = curr2
+
+    while not stopped:
+        batch = []       # (obs, target) per sweep of this batch
+        persisted = []
+        while True:
+            num_iters += 1
+            info = (
+                curr2.filter(F.col("comm") >= 0)
+                .groupBy("comm")
+                .agg(F.count("*").alias("c_size"),
+                     F.sum("degree").alias("c_degree"))
+            )
+            state = curr2.join(info, "comm").select(
+                "vid", F.col("comm").alias("sc"), "degree", "self_w",
+                F.col("c_degree").alias("ax_full"),
+                F.col("c_size").alias("size_sc"),
+            ).persist(level)
+            cdst2 = state.select(
+                F.col("vid").alias("dst"), F.col("sc").alias("comm_dst"),
+                F.col("ax_full").alias("ay"), F.col("size_sc").alias("size_y"),
+            )
+            msg = edges.join(cdst2, "dst")
+            if kernel_agg and not hub_salt:
+                cand = msg.select("src", "weight", "comm_dst", "ay", "size_y")
+            elif hub_salt:
+                salt = F.pmod(F.xxhash64(F.col("dst").cast("long")), F.lit(hub_salt))
+                cand = (
+                    msg.groupBy("src", "comm_dst", salt.alias("_salt"))
+                    .agg(F.sum("weight").alias("eiy"),
+                         F.first("ay").alias("ay"),
+                         F.first("size_y").alias("size_y"))
+                    .groupBy("src", "comm_dst")
+                    .agg(F.sum("eiy").alias("eiy"),
+                         F.first("ay").alias("ay"),
+                         F.first("size_y").alias("size_y"))
+                )
+            else:
+                cand = (
+                    msg.groupBy("src", "comm_dst")
+                    .agg(F.sum("weight").alias("eiy"),
+                         F.first("ay").alias("ay"),
+                         F.first("size_y").alias("size_y"))
+                )
+            obs = Observation()
+            target = (
+                _apply_sampling(
+                    _sweep_arrow_cogrouped(
+                        cand, state, const, nblocks,
+                        raw=kernel_agg and not hub_salt,
+                    ),
+                    sample_pct, num_iters,
+                )
+                .observe(
+                    obs,
+                    F.sum("own_w").alias("e_xx"),
+                    F.sum(
+                        F.when(F.col("comm") != F.col("sc"), 1).otherwise(0)
+                    ).alias("moved"),
+                    F.sum("_a2t").alias("a2_x"),
+                )
+                .select("vid", "comm", "sc", "own_w", "degree", "self_w")
+                .persist(level)
+            )
+            batch.append((obs, target))
+            persisted += [state, target]
+            curr2 = target.select("vid", "comm", "degree", "self_w")
+            if num_iters % max(1, chain_sweeps) == 0 or num_iters >= max_inner:
+                break
+
+        # ONE action runs the whole batch; every persist above caches
+        batch[-1][1].count()
+        base_iter = num_iters - len(batch)
+        for j, (obs, target) in enumerate(batch):
+            stats = obs.get
+            curr_mod = (
+                (stats["e_xx"] or 0.0) * const
+                - (stats["a2_x"] or 0.0) * const * const
+            )
+            trajectory.append(curr_mod)
+            moved = stats["moved"] or 0
+            gi = base_iter + j + 1
+            if moved > 0:
+                change = True
+            if moved == 0 or gi >= max_inner:
+                # unchained loop returns the assignment the FINAL sweep
+                # READ (it breaks before curr = target); on moved == 0
+                # that equals the final target anyway
+                num_iters = gi
+                trajectory = trajectory[:gi]
+                final_read = prev_final if j == 0 else batch[j - 1][1]
+                stopped = True
+                break
+            prev_mod = max(curr_mod, lower)
+        if not stopped:
+            # batch boundary: truncate lineage so stats/plan depth cannot
+            # compound, then free the batch's cached blocks
+            new_backing = cut_lineage(curr2)
+            release(backing)
+            for p in persisted:
+                p.unpersist()
+            backing = new_backing
+            prev_final = new_backing
+            curr2 = new_backing
+
+    all_v = spark.range(nv).select(F.col("id").alias("vid"))
+    iso_fill = F.lit(-1) if num_iters >= 2 else F.col("vid")
+    c_full = cut_lineage(
+        all_v.join(final_read.select("vid", "comm"), "vid", "left")
+        .select("vid", F.coalesce("comm", iso_fill).alias("comm"))
+    )
+    for p in persisted:
+        p.unpersist()
+    release(backing)
+    return PhaseResult(c_full, prev_mod, num_iters, change, trajectory)
+
+
 # ---------------------------------------------------------------------------
 # multi-phase driver
 # ---------------------------------------------------------------------------
@@ -779,10 +980,14 @@ def louvain_phase_colored(
 
     while True:
         num_iters += 1
+        if not live_colors:  # empty graph: nothing can move
+            trajectory.append(0.0)
+            break
         # reset the per-sweep moved flag; the flag rides the class-loop
         # checkpoints so the sweep needs NO extra count action per class —
         # moved_total is read once from the final class's materialized state
         curr = curr.select("vid", "comm", F.lit(False).alias("moved"))
+        obs_sweep = None
         for k in live_colors:
             info = comm_info(curr, deg)
             cdst = curr.select(F.col("vid").alias("dst"), F.col("comm").alias("comm_dst"))
@@ -860,30 +1065,53 @@ def louvain_phase_colored(
                 )
                 .select("vid", F.col("cand_comm").alias("new_comm"))
             )
-            new_curr = (
-                curr.join(moves, "vid", "left")
-                .select(
-                    "vid",
-                    F.coalesce("new_comm", F.col("comm")).alias("comm"),
-                    (F.col("moved") | F.col("new_comm").isNotNull()).alias("moved"),
-                )
-                .transform(cut_lineage)
+            new_curr = curr.join(moves, "vid", "left").select(
+                "vid",
+                F.coalesce("new_comm", F.col("comm")).alias("comm"),
+                (F.col("moved") | F.col("new_comm").isNotNull()).alias("moved"),
             )
+            if k == live_colors[-1]:
+                # fold the post-sweep modularity into the final class's
+                # materialization: e_xx = Σ_v own_w (each undirected intra
+                # edge counted once per direction, self-loops once — same
+                # total as the intra-edge filter-sum), a2_x = Σ_v degree ·
+                # c_degree(comm(v)) ≡ Σ_c c_degree², and the moved count
+                # all ride the checkpoint job as observed metrics — the
+                # sweep runs exactly one action per color class, zero
+                # stats jobs (mirrors the basic path, see :648-676)
+                nc_src = new_curr.select(
+                    F.col("vid").alias("src"), F.col("comm").alias("comm_src"))
+                nc_dst = new_curr.select(
+                    F.col("vid").alias("dst"), F.col("comm").alias("comm_dst"))
+                own_new = (
+                    edges.join(nc_src, "src").join(nc_dst, "dst")
+                    .filter(F.col("comm_src") == F.col("comm_dst"))
+                    .groupBy(F.col("src").alias("vid"))
+                    .agg(F.sum("weight").alias("own_w"))
+                )
+                info_new = (
+                    new_curr.join(deg, "vid")
+                    .groupBy("comm")
+                    .agg(F.sum("degree").alias("ax_full"))
+                )
+                obs_sweep = Observation()
+                new_curr = (
+                    new_curr.join(own_new, "vid", "left")
+                    .join(deg, "vid")
+                    .join(info_new, "comm")
+                    .observe(
+                        obs_sweep,
+                        F.sum(F.coalesce("own_w", F.lit(0.0))).alias("e_xx"),
+                        F.sum(F.col("degree") * F.col("ax_full")).alias("a2_x"),
+                        F.sum(F.col("moved").cast("long")).alias("n_moved"),
+                    )
+                    .select("vid", "comm", "moved")
+                )
+            new_curr = new_curr.transform(cut_lineage)
             curr.unpersist()
             curr = new_curr
 
-        # modularity after the full sweep (all classes applied)
-        cdst = curr.select(F.col("vid").alias("dst"), F.col("comm").alias("comm_dst"))
-        csrc = curr.select(F.col("vid").alias("src"), F.col("comm").alias("comm_src"))
-        info = comm_info(curr, deg)
-        mrow = (
-            edges.join(csrc, "src").join(cdst, "dst")
-            .filter(F.col("comm_src") == F.col("comm_dst"))
-            .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("e_xx"))
-            .crossJoin(info.agg(F.sum(F.col("c_degree") * F.col("c_degree")).alias("a2_x")))
-            .crossJoin(curr.agg(F.sum(F.col("moved").cast("long")).alias("n_moved")))
-            .collect()[0]
-        )
+        mrow = obs_sweep.get
         curr_mod = (mrow["e_xx"] or 0.0) * const - (mrow["a2_x"] or 0.0) * const * const
         moved_total = int(mrow["n_moved"] or 0)
         trajectory.append(curr_mod)
@@ -944,10 +1172,12 @@ def louvain(
     Set ``driver_tail_nv=0`` to force fully-distributed phases.
 
     Driver memory bound: the tail collects at most ``driver_tail_edges``
-    (src, dst, weight) tuples — ~50 MB of Python objects at the 2M
-    default — plus the numpy CSR the oracle builds (~50 MB more). Both
-    ceilings are caller-tunable; a driver sized for Spark's own default
-    (1 GiB) absorbs the defaults with an order of magnitude to spare.
+    (src, dst, weight) tuples — ~150 B/row boxed (tuple + two ints +
+    float) ≈ 300 MB at the 2M default, roughly doubled transiently by the
+    ``collect()``-time Row objects — plus the numpy CSR the oracle builds
+    (~50 MB). Both ceilings are caller-tunable; a driver sized for
+    Spark's own default (1 GiB) holds the defaults with ~2-3x headroom,
+    so size the ceiling down before sizing the driver up.
     """
     from grappolo_spark.oracle.numpy_oracle import louvain_multiphase_np
     g_edges, g_nv = edges, nv

@@ -33,7 +33,7 @@ TABLES = [
 
 # queries whose results are not SQL-reproducible (docstring on each
 # explains why); the driver records a weaker rows-only check for these
-ROWS_ONLY = {"stream_edge_etl"}
+ROWS_ONLY: set[str] = set()  # every registered query is hash-gated (r3)
 
 
 def test_every_oracle_has_a_query():
@@ -51,13 +51,17 @@ def test_every_query_has_an_oracle_or_is_allowlisted():
 
 @pytest.mark.skipif(not SF_DIR.is_dir(), reason="testdata not present")
 def test_oracle_sql_parses_and_binds():
+    # partially-populated testdata would otherwise surface as a wall of
+    # DuckDB binder errors blamed on the SQL — diagnose it up front
+    absent = [t for t in TABLES if not (SF_DIR / f"{t}.parquet").exists()]
+    if absent:
+        pytest.skip(f"missing table parquet under {SF_DIR}: {absent}")
     con = duckdb.connect()
     for t in TABLES:
-        p = SF_DIR / f"{t}.parquet"
-        if p.exists():
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-            )
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR / f'{t}.parquet'}')"
+        )
     bad = []
     for name, sql in entry.oracle_sql().items():
         try:

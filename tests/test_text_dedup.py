@@ -126,3 +126,46 @@ def test_near_dup_clusters_no_pairs(spark):
     out = TX.near_dup_clusters(spark, docs_df).collect()
     assert len(out) == 8
     assert all(r.canonical_id == r.doc_id and not r.is_dup for r in out)
+
+
+# ---------------------------------------------------------------------------
+# simhash_near_pairs completeness (round-2 fix: banding vs prefix bucket)
+# ---------------------------------------------------------------------------
+
+def test_simhash_near_pairs_complete_vs_bruteforce(spark):
+    """The banded candidate set must find EVERY Hamming<=3 pair —
+    pigeonhole over max_hamming+1 bands — including pairs that differ
+    inside the top 20 bits (the round-1 prefix bucket's recall hole)."""
+    import random
+
+    rng = random.Random(7)
+    hashes = {}
+    base = rng.getrandbits(59)
+    hashes[0] = base
+    # flips in the TOP bits only (old prefix bucketing missed these)
+    hashes[1] = base ^ (1 << 59)
+    hashes[2] = base ^ (1 << 59) ^ (1 << 58) ^ (1 << 57)
+    # flips spread across all four bands (still <= 3 total)
+    hashes[3] = base ^ (1 << 50) ^ (1 << 30) ^ (1 << 10)
+    # exactly 4 flips -> NOT a pair with 0
+    hashes[4] = base ^ (1 << 59) ^ (1 << 44) ^ (1 << 29) ^ (1 << 14)
+    # random background docs
+    for i in range(5, 40):
+        hashes[i] = rng.getrandbits(60)
+
+    exp = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a in hashes for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    assert (0, 1, 1) in exp and (0, 2, 3) in exp and (0, 3, 3) in exp
+    assert not any(a == 0 and b == 4 for a, b, _ in exp)
+
+    sim = spark.createDataFrame(
+        [(d, h) for d, h in hashes.items()], "doc_id long, simhash long"
+    )
+    got = {
+        (int(r.doc_a), int(r.doc_b), int(r.hamming))
+        for r in TX.simhash_near_pairs(sim).collect()
+    }
+    assert got == exp
