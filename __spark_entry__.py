@@ -809,14 +809,24 @@ def _q_coloring_maxmin(spark, sf):
     return colors
 
 
-def _q_coloring_balanced(spark, sf):
+def _q_coloring_balanced(spark, sf, variant="vbase"):
     from grappolo_spark.operators.coloring import balanced_coloring, distance1_coloring
 
     e = T.copurchase_edges(spark, sf)
     nv = T.copurchase_nv(spark, sf)
     colors, _n, _rounds = distance1_coloring(spark, e, nv)
-    out, _rounds2 = balanced_coloring(spark, e, colors, nv)
+    out, _rounds2 = balanced_coloring(spark, e, colors, nv, variant=variant)
     return out
+
+
+def _q_coloring_balanced_cbase(spark, sf):
+    """cBase redistribution strategy (ref bColoring/cBase.cpp:44-140)."""
+    return _q_coloring_balanced(spark, sf, variant="cbase")
+
+
+def _q_coloring_balanced_wbase(spark, sf):
+    """wBase degree-weighted redistribution (ref bColoring/wBase.cpp:44-201)."""
+    return _q_coloring_balanced(spark, sf, variant="wbase")
 
 
 def _q_rcm(spark, sf):
@@ -1085,7 +1095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- gated by its cheap fixed-budget twin) -----------------------
         "color_stats": _q_color_stats,                  # A12
         "pagerank": _q_pagerank,                        # NS1
-        "coloring_balanced": _q_coloring_balanced,      # C16
+        "coloring_balanced": _q_coloring_balanced,      # C16 (vBase)
+        "coloring_balanced_cbase": _q_coloring_balanced_cbase,  # C16 (cBase)
+        "coloring_balanced_wbase": _q_coloring_balanced_wbase,  # C16 (wBase)
         "louvain_arrow": _q_louvain_arrow,
         "louvain_two_phase": _q_louvain_two_phase,      # C10
         "graph_coloring": _q_coloring,                  # C14
@@ -1564,14 +1576,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT src, dst, jaccard AS similarity FROM ranked WHERE rn <= CEIL(SQRT(d))
     """
 
+    # components via the engine's own unrolled pointer-jumping rounds
+    # (oracle/cc_sql.py) — the old full-reachability recursive CTE was
+    # O(comp_size²) rows and ~60 s of the sweep budget on this corpus
+    from grappolo_spark.oracle.cc_sql import (
+        bfs_levels_unrolled_cte, cc_unrolled_cte,
+    )
+
     sql["connected_components"] = f"""
-        WITH RECURSIVE {_EDGES},
-        reach(v, r) AS (
-            SELECT p_partkey, p_partkey FROM part
-            UNION
-            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v
-        )
-        SELECT v AS vid, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY v
+        WITH {_EDGES},
+        ccseed AS (SELECT p_partkey AS vid FROM part),
+        ccnbr AS (SELECT src, dst FROM edges WHERE src <> dst),
+        {cc_unrolled_cte('ccseed', 'ccnbr')}
+        SELECT vid, CAST(comp AS BIGINT) AS component FROM ccfinal
     """
 
     sql["louvain_greedy_init"] = f"""
@@ -1821,16 +1838,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT vid, label FROM lp WHERE it = 10
     """
 
+    # components + BFS levels via the unrolled twins (oracle/cc_sql.py) —
+    # the old reachability + recursive-BFS pair cost ~160 s of sweep budget
     sql["rcm_ordering"] = f"""
-        WITH RECURSIVE {_EDGES},
+        WITH {_EDGES},
         rdeg AS (SELECT src AS vid, COUNT(*) AS degree FROM edges GROUP BY src),
         rnbr AS (SELECT src, dst FROM edges WHERE src <> dst),
-        reach(v, r) AS (
-            SELECT vid, vid FROM rdeg
-            UNION
-            SELECT e.src, reach.r FROM rnbr e JOIN reach ON e.dst = reach.v
-        ),
-        rcomp AS (SELECT v AS vid, MIN(r) AS comp FROM reach GROUP BY v),
+        rverts AS (SELECT vid FROM rdeg),
+        {cc_unrolled_cte('rverts', 'rnbr', prefix='r')},
+        rcomp AS (SELECT vid, comp FROM rfinal),
         rsrc AS (
             SELECT comp, vid AS src_vid, degree AS src_deg FROM (
                 SELECT c.comp, c.vid, d.degree,
@@ -1839,23 +1855,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM rcomp c JOIN rdeg d USING (vid)
             ) WHERE rn = 1
         ),
-        bfs(rnd, vid, level) AS (
-            SELECT 0, c.vid, CASE WHEN s.src_vid IS NOT NULL THEN 0 END
+        rseed AS (
+            SELECT c.vid, CASE WHEN s.src_vid IS NOT NULL
+                               THEN 0 END AS level
             FROM rcomp c LEFT JOIN rsrc s ON s.src_vid = c.vid
-            UNION ALL
-            SELECT s.rnd + 1, s.vid,
-                   COALESCE(s.level,
-                            CASE WHEN h.vid IS NOT NULL THEN s.rnd + 1 END)
-            FROM bfs s
-            LEFT JOIN (
-                SELECT DISTINCT e.dst AS vid
-                FROM bfs f JOIN rnbr e ON e.src = f.vid
-                WHERE f.level = f.rnd
-            ) h ON h.vid = s.vid
-            WHERE s.rnd < 10000
-              AND EXISTS (SELECT 1 FROM bfs u WHERE u.level IS NULL)
         ),
-        lvl AS (SELECT vid, level FROM bfs WHERE rnd = (SELECT MAX(rnd) FROM bfs)),
+        {bfs_levels_unrolled_cte('rseed', 'rnbr')},
+        lvl AS (SELECT vid, level FROM lvfinal),
         riso AS (
             SELECT p_partkey AS vid FROM part
             WHERE p_partkey NOT IN (SELECT vid FROM rdeg)
@@ -1888,6 +1894,10 @@ def oracle_sql() -> dict[str, str]:
     # rounds at sf0.01 (converged rounds are no-ops); 16 unrolled rounds
     # keeps the DuckDB plan compact with >2x margin
     sql["coloring_balanced"] = balanced_sql(_EDGES, _PART_VIDS, _NV, max_rounds=16)
+    sql["coloring_balanced_cbase"] = balanced_sql(
+        _EDGES, _PART_VIDS, _NV, max_rounds=16, variant="cbase")
+    sql["coloring_balanced_wbase"] = balanced_sql(
+        _EDGES, _PART_VIDS, _NV, max_rounds=16, variant="wbase")
 
     sql["event_transitions"] = """
         WITH seq AS (

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..lineage import cut_lineage
+from ..session import scaled_shuffle_partitions
 
 
 def _prio(col):
@@ -58,6 +59,13 @@ def distance1_coloring(
         .select("src", "dst")
         .transform(cut_lineage)
     )
+    # stage granularity clamped to the graph for the round loop
+    # (session.scaled_shuffle_partitions; results partition-invariant)
+    with scaled_shuffle_partitions(spark, nbr.count()):
+        return _distance1_impl(spark, nbr, nv, max_rounds)
+
+
+def _distance1_impl(spark, nbr, nv, max_rounds):
     verts = nbr.select(F.col("src").alias("vid")).distinct()
     state = verts.select(
         "vid", F.lit(None).cast("int").alias("color"), _prio(F.col("vid")).alias("prio")
@@ -258,25 +266,56 @@ def balanced_coloring(
     ncolors: int | None = None,
     strategy: str = "first_fit",
     max_rounds: int = 50,
+    variant: str = "vbase",
+    _scaled: bool = False,
 ) -> tuple[DataFrame, int]:
-    """Balanced-coloring redistribution (ref C16, ``vBaseRedistribution``,
-    ``Coloring/vBase.cpp:6-169``): vertices in OVERSIZE base color classes
-    (class size > avg = ceil(nv/ncolors), computed once from the input
-    coloring, ``:74-86``) move to the first-fit (type 0, ``:111-115``) or
-    least-used (type 1, ``:117-125``) permissible color that is below avg
-    and not itself oversize; repeat until stable.
+    """Balanced-coloring redistribution (ref C16): vertices in OVERSIZE
+    base color classes move to a permissible under-capacity color —
+    first-fit (type 0) or least-used (type 1) — until stable.
 
-    The reference's loop is scheduling-dependent (atomic ``freq`` updates
-    mid-sweep + random-value conflict resolution, ``:129-147``) — like C14
-    the engine keeps the CONTRACT (output stays a proper coloring, oversize
-    classes drain toward avg) but is deterministic: Jacobi rounds, per-color
-    admission capacity ``avg - freq`` granted in xxhash64-priority order,
-    and adjacent same-target movers resolved by the same bijective
-    priority. Oracle twin (identical spec):
+    ``variant`` selects the reference strategy family (the bColoring/
+    directory ships one redistribution scheme per file):
+
+    * ``vbase`` (``Coloring/vBase.cpp:6-169``, default): balance by CLASS
+      SIZE, avg = ceil(nv/ncolors); targets must be below avg AND not
+      themselves oversize (``:111-125``).
+    * ``cbase`` (``bColoring/cBase.cpp:44-140``): same size balance, but a
+      target only needs mark-free + freq < avg (``:103-115``) — oversize
+      classes are NOT excluded as targets, so mass can also rebalance
+      between oversize classes as they drain.
+    * ``wbase`` (``bColoring/wBase.cpp:44-201``): balance by WEIGHTED
+      class load — freq = Σ degree(v) over the class
+      (``computeBinSizesWeighted``, moves update freq by vDeg,
+      ``:160-167``) — so color stages get equal EDGE work, not equal
+      vertex counts. Targets below avg and not oversize (``:139-152``).
+      Documented deviation: the reference sets avg = ceil(ne/ncolors)
+      (``:95``) while its class loads sum to Σ_v deg(v) = 2·ne, making
+      every class structurally oversize and the drain loop terminate only
+      by exhaustion — the engine uses the attainable weighted mean
+      ceil(Σ_v deg(v) / ncolors).
+
+    The reference's loops are scheduling-dependent (atomic ``freq``
+    updates mid-sweep + random-value conflict resolution) — like C14 the
+    engine keeps each CONTRACT (output stays a proper coloring, oversize
+    classes drain toward avg under the variant's load measure) but is
+    deterministic: Jacobi rounds, per-color admission capacity
+    ``avg - freq`` granted in xxhash64-priority order (degree-weighted
+    admission for wbase), and adjacent same-target movers resolved by the
+    same bijective priority. Oracle twin (identical spec per variant):
     ``oracle.coloring_np.balanced_coloring_np``.
 
     Returns ((vid, color), rounds_run).
     """
+    if variant not in ("vbase", "cbase", "wbase"):
+        raise ValueError(f"unknown balanced-coloring variant: {variant}")
+    if not _scaled:
+        # stage granularity clamped to the graph for the round loop
+        # (session.scaled_shuffle_partitions; results partition-invariant)
+        with scaled_shuffle_partitions(spark, edges.count()):
+            return balanced_coloring(
+                spark, edges, colors, nv, ncolors=ncolors, strategy=strategy,
+                max_rounds=max_rounds, variant=variant, _scaled=True,
+            )
     base = colors.select("vid", F.col("color").alias("base_color")).transform(cut_lineage)
     nbr = (
         edges.filter(F.col("src") != F.col("dst"))
@@ -285,29 +324,46 @@ def balanced_coloring(
     )
     if ncolors is None:
         ncolors = int(base.agg(F.max("base_color")).collect()[0][0] or 0) + 1
-    avg = -(-nv // ncolors)  # ceil
+
+    state = colors.select(
+        "vid", "color", _prio(F.col("vid")).alias("prio")
+    ).join(base, "vid")
+    if variant == "wbase":
+        deg = nbr.groupBy(F.col("src").alias("vid")).agg(
+            F.count("*").alias("w")
+        )
+        state = state.join(deg, "vid", "left").select(
+            "vid", "color", "prio", "base_color",
+            F.coalesce("w", F.lit(0)).cast("long").alias("w"),
+        )
+        total_w = int(
+            state.agg(F.sum("w")).collect()[0][0] or 0
+        )
+        avg = -(-total_w // ncolors)  # ceil of the weighted mean
+        load = F.sum("w").alias("n")
+    else:
+        state = state.withColumn("w", F.lit(1).cast("long"))
+        avg = -(-nv // ncolors)  # ceil
+        load = F.count("*").alias("n")
+    state = state.transform(cut_lineage)
 
     freq0 = {
         int(r["base_color"]): int(r["n"])
-        for r in base.groupBy("base_color").agg(F.count("*").alias("n")).collect()
+        for r in state.groupBy("base_color").agg(load).collect()
     }
     oversize = sorted(c for c, n in freq0.items() if n > avg)
     if not oversize:
         return colors.select("vid", "color"), 0
 
-    state = colors.select(
-        "vid", "color", _prio(F.col("vid")).alias("prio")
-    ).join(base, "vid").transform(cut_lineage)
-
     rounds = 0
     while rounds < max_rounds:
         freq = {
             int(r["color"]): int(r["n"])
-            for r in state.groupBy("color").agg(F.count("*").alias("n")).collect()
+            for r in state.groupBy("color").agg(load).collect()
         }
         eligible = sorted(
             c for c in range(ncolors)
-            if freq.get(c, 0) < avg and c not in oversize
+            if freq.get(c, 0) < avg and (variant == "cbase" or c not in oversize)
         )
         movers = state.filter(
             F.col("base_color").isin([int(c) for c in oversize])
@@ -319,7 +375,7 @@ def balanced_coloring(
 
         # candidate (mover, target) pairs minus colors used by neighbours
         cand = movers.select(
-            "vid", "prio",
+            "vid", "prio", "w",
             F.explode(F.array(*[F.lit(int(c)) for c in eligible])).alias("t"),
         )
         nb_colors = (
@@ -335,21 +391,26 @@ def balanced_coloring(
             )
             pick = (
                 free.withColumn("fc", fmap[F.col("t")])
-                .groupBy("vid", "prio")
+                .groupBy("vid", "prio", "w")
                 .agg(F.min(F.struct(F.col("fc"), F.col("t"))).alias("b"))
-                .select("vid", "prio", F.col("b.t").alias("t"))
+                .select("vid", "prio", "w", F.col("b.t").alias("t"))
             )
         else:  # first_fit
-            pick = free.groupBy("vid", "prio").agg(F.min("t").alias("t"))
+            pick = free.groupBy("vid", "prio", "w").agg(F.min("t").alias("t"))
 
-        # per-color admission capacity avg - freq, granted in priority order
-        w = Window.partitionBy("t").orderBy(F.desc("prio"))
+        # per-color admission capacity avg - freq, granted in priority
+        # order; admission consumes each mover's LOAD (w = 1 vertex for
+        # vbase/cbase, degree for wbase — cumulative-sum ≡ row_number in
+        # the unit case, so the vbase SQL twin is unchanged)
+        win = Window.partitionBy("t").orderBy(F.desc("prio")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
         capmap = F.create_map(
             *[F.lit(x) for c in eligible for x in (int(c), avg - freq.get(c, 0))]
         )
         admitted = (
-            pick.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= capmap[F.col("t")])
+            pick.withColumn("cw", F.sum("w").over(win))
+            .filter(F.col("cw") <= capmap[F.col("t")])
             .select("vid", "prio", "t")
         )
         # adjacent same-target movers: the higher priority wins
@@ -372,7 +433,7 @@ def balanced_coloring(
             .select(
                 "vid",
                 F.coalesce(F.col("t"), F.col("color")).cast("int").alias("color"),
-                "prio", "base_color",
+                "prio", "base_color", "w",
             )
             .transform(cut_lineage)
         )

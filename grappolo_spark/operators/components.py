@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lineage import cut_lineage, release
+from ..session import scaled_shuffle_partitions
 
 
 def connected_components(
@@ -36,6 +37,14 @@ def connected_components(
     graph); when given it replaces the dense ``range(nv)`` seed and
     ``nv`` is ignored."""
     e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst").transform(cut_lineage)
+    # stage granularity clamped to the graph for the round loop (small
+    # graphs: full-width stages are scheduling overhead, results are
+    # partition-invariant — session.scaled_shuffle_partitions)
+    with scaled_shuffle_partitions(spark, e.count()):
+        return _cc_impl(spark, e, nv, max_iter, checkpoint, vertices)
+
+
+def _cc_impl(spark, e, nv, max_iter, checkpoint, vertices):
     if vertices is not None:
         vid0 = F.col(vertices.columns[0]).alias("vid")
         labels = vertices.select(vid0).distinct().select(

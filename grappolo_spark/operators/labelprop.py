@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lineage import cut_lineage, release
+from ..session import scaled_shuffle_partitions
 
 
 def label_propagation(
@@ -29,6 +30,13 @@ def label_propagation(
 ) -> tuple[DataFrame, int]:
     """Returns ((vid, label) DataFrame, rounds run)."""
     e = edges.filter(F.col("src") != F.col("dst")).transform(cut_lineage)
+    # stage granularity clamped to the graph for the round loop
+    # (session.scaled_shuffle_partitions; results partition-invariant)
+    with scaled_shuffle_partitions(spark, e.count()):
+        return _lpa_impl(spark, e, nv, max_iter, checkpoint)
+
+
+def _lpa_impl(spark, e, nv, max_iter, checkpoint):
     labels = spark.range(nv).select(F.col("id").alias("vid"), F.col("id").alias("label"))
 
     start_iter = 0

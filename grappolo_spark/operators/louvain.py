@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from ..graph import assign_dense_ids
 from ..lineage import cut_lineage, pin_partitioned, release
+from ..session import scaled_shuffle_partitions
 
 
 # ---------------------------------------------------------------------------
@@ -442,10 +443,22 @@ def louvain_phase(
             sample_pct=sample_pct, hub_salt=hub_salt, prepared=prepared,
             kernel_agg=kernel_agg, chain_sweeps=chain_sweeps,
         )
-    if prepared is not None:
-        edges, deg, two_m, selfw = prepared
-    else:
-        edges, deg, two_m, selfw = louvain_prepare(edges)
+    if prepared is None:
+        # size stage granularity to THIS graph for the whole phase (incl.
+        # the prepare shuffle, so the pinned partitioning matches): on
+        # coarsened/small graphs full-width stages are pure scheduling
+        # overhead across the sweep loop. When the caller hands in a
+        # pre-pinned `prepared`, its partitioning is authoritative —
+        # resizing here would force the static side to reshuffle.
+        with scaled_shuffle_partitions(spark, edges.count()):
+            return louvain_phase(
+                spark, edges, nv, lower=lower, max_inner=max_inner,
+                checkpoint=checkpoint, phase_tag=phase_tag, method=method,
+                sample_pct=sample_pct, hub_salt=hub_salt,
+                prepared=louvain_prepare(edges), kernel_agg=kernel_agg,
+                fuse_state=fuse_state, chain_sweeps=chain_sweeps,
+            )
+    edges, deg, two_m, selfw = prepared
     const = 1.0 / two_m if two_m > 0 else 0.0
 
     start_iter = 0
@@ -941,8 +954,26 @@ def louvain_phase_colored(
     Returns the post-sweep assignment (unlike the Jacobi basic phase, which
     returns the pre-sweep one) — matching the in-place reference variant.
     Oracle twin: ``oracle.coloring_np.louvain_phase_colored_np``.
+
+    Stage granularity is clamped to the graph for the whole phase (the
+    class loop runs n_colors x iters stages; on the small graphs the
+    colored driver gates to, full-width stages are pure scheduling
+    overhead — see ``session.scaled_shuffle_partitions``).
     """
     edges = edges.transform(cut_lineage)
+    with scaled_shuffle_partitions(spark, edges.count()):
+        return _louvain_phase_colored_impl(
+            spark, edges, nv, colors, thresh=thresh, max_inner=max_inner)
+
+
+def _louvain_phase_colored_impl(
+    spark: SparkSession,
+    edges: DataFrame,
+    nv: int,
+    colors: DataFrame,
+    thresh: float = 1e-2,
+    max_inner: int = 25,
+) -> PhaseResult:
     deg = (
         edges.groupBy(F.col("src").alias("vid"))
         .agg(F.sum("weight").alias("degree"))

@@ -63,6 +63,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..lineage import cut_lineage, pin_partitioned, release
+from ..session import scaled_shuffle_partitions
 from .louvain import _gain, coarsen, renumber
 
 
@@ -119,7 +120,31 @@ def _base_phase(
     the directed variant). ``const_factor`` scales 1/Σdeg (1.0 undirected
     → 1/2m; 2.0 directed → 1/m). ``resistance_phase`` switches on the
     r_min/Q_AFG bookkeeping and, when > 1, the Q_AFG==0 exit rule.
+
+    Stage granularity is clamped to the graph size for the whole phase
+    (``session.scaled_shuffle_partitions``): these variants run up to
+    1000 sweeps, and on small/coarsened graphs full-width stages are pure
+    scheduling overhead (measured 2x wall on the 87-sweep directed run).
     """
+    n_rows = edges.count()
+    with scaled_shuffle_partitions(spark, n_rows):
+        return _base_phase_impl(
+            spark, edges, nv, const_factor, thresh, lower, max_inner,
+            resistance_phase, force_sweeps,
+        )
+
+
+def _base_phase_impl(
+    spark: SparkSession,
+    edges: DataFrame,
+    nv: int,
+    const_factor: float,
+    thresh: float,
+    lower: float,
+    max_inner: int,
+    resistance_phase: int | None = None,
+    force_sweeps: bool = False,
+) -> BasePhaseResult:
     # static out-adjacency pre-partitioned on the per-sweep join key (dst)
     edges = pin_partitioned(edges, "dst")
     deg = (

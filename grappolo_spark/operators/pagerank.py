@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lineage import cut_lineage, pin_partitioned, release
+from ..session import scaled_shuffle_partitions
 
 
 def pagerank_prepare(edges: DataFrame) -> tuple[DataFrame, DataFrame, int]:
@@ -93,7 +94,19 @@ def pagerank(
     # dominant saving); vertices pinned on vid so in fixed-iteration mode
     # the new state is (static vertices) ⋈ (contrib already partitioned by
     # vid from its groupBy) — zero state-side shuffle per superstep
-    trans, vertices, n_live = prepared or pagerank_prepare(edges)
+    if prepared is None:
+        # size stage granularity to THIS graph for the whole run (incl.
+        # the prepare shuffle so the pinned partitioning matches); a
+        # caller-supplied `prepared` carries its own partitioning and is
+        # authoritative (session.scaled_shuffle_partitions is a no-op on
+        # large graphs)
+        with scaled_shuffle_partitions(spark, edges.count()):
+            return pagerank(
+                spark, edges, nv, alpha=alpha, tol=tol, max_iter=max_iter,
+                checkpoint_every=checkpoint_every, checkpoint=checkpoint,
+                prepared=pagerank_prepare(edges), cut_every=cut_every,
+            )
+    trans, vertices, n_live = prepared
     n_dangling = nv - n_live
 
     start_iter = 0

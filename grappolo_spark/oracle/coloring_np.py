@@ -255,11 +255,16 @@ def maxmin_coloring_np(edges, nv, n_hash=4, n_itrs=2):
 
 
 def balanced_coloring_np(edges, nv, colors, ncolors=None,
-                         strategy="first_fit", max_rounds=50):
+                         strategy="first_fit", max_rounds=50,
+                         variant="vbase"):
     """Oracle twin of ``operators.coloring.balanced_coloring`` (ref C16,
-    ``Coloring/vBase.cpp:6-169``), same deterministic spec: Jacobi rounds,
-    xxhash64-priority admission up to per-color capacity avg - freq,
-    adjacent same-target ties to the higher priority.
+    ``Coloring/vBase.cpp:6-169`` / ``bColoring/cBase.cpp:44-140`` /
+    ``bColoring/wBase.cpp:44-201``), same deterministic spec per variant:
+    Jacobi rounds, xxhash64-priority admission up to per-color capacity
+    avg - freq (load-weighted for wbase), adjacent same-target ties to
+    the higher priority. ``cbase`` drops the target-not-oversize
+    exclusion; ``wbase`` balances Σ degree per class with avg =
+    ceil(Σ_v deg(v) / ncolors).
 
     Returns (colors list, rounds_run).
     """
@@ -275,11 +280,16 @@ def balanced_coloring_np(edges, nv, colors, ncolors=None,
     base = list(colors)
     if ncolors is None:
         ncolors = max(base) + 1 if base else 0
-    avg = -(-nv // ncolors) if ncolors else 0
+    if variant == "wbase":
+        w = [len(nbrs[v]) for v in range(nv)]
+        avg = -(-sum(w) // ncolors) if ncolors else 0
+    else:
+        w = [1] * nv
+        avg = -(-nv // ncolors) if ncolors else 0
 
     freq0 = {}
-    for c in base:
-        freq0[c] = freq0.get(c, 0) + 1
+    for v, c in enumerate(base):
+        freq0[c] = freq0.get(c, 0) + w[v]
     oversize = {c for c, n in freq0.items() if n > avg}
     if not oversize:
         return colors, 0
@@ -288,10 +298,11 @@ def balanced_coloring_np(edges, nv, colors, ncolors=None,
     rounds = 0
     while rounds < max_rounds:
         freq = {}
-        for c in colors:
-            freq[c] = freq.get(c, 0) + 1
+        for v, c in enumerate(colors):
+            freq[c] = freq.get(c, 0) + w[v]
         eligible = [c for c in range(ncolors)
-                    if freq.get(c, 0) < avg and c not in oversize]
+                    if freq.get(c, 0) < avg
+                    and (variant == "cbase" or c not in oversize)]
         movers = [v for v in range(nv)
                   if base[v] in oversize and freq.get(colors[v], 0) > avg]
         if not eligible or not movers:
@@ -315,7 +326,11 @@ def balanced_coloring_np(edges, nv, colors, ncolors=None,
             by_target.setdefault(c, []).append(v)
         for c, vs in by_target.items():
             cap = avg - freq.get(c, 0)
-            for v in sorted(vs, key=lambda x: -prio[x])[:cap]:
+            cum = 0
+            for v in sorted(vs, key=lambda x: -prio[x]):
+                cum += w[v]
+                if cum > cap:
+                    break
                 admitted[v] = c
 
         moved = False

@@ -181,8 +181,12 @@ def maxmin_sql(edges_cte: str, all_vids_rel: str,
 
 
 def balanced_sql(edges_cte: str, all_vids_rel: str, nv_expr: str,
-                 max_rounds: int = 50) -> str:
-    """first_fit vBase redistribution over the distance-1 base coloring.
+                 max_rounds: int = 50, variant: str = "vbase") -> str:
+    """first_fit balanced redistribution over the distance-1 base coloring
+    — twin of ``operators.coloring.balanced_coloring`` for all three
+    reference strategy families (``variant`` = vbase | cbase | wbase,
+    see that docstring for the per-variant semantics and the wbase
+    avg-capacity deviation).
 
     Unrolled (not recursive): engine rounds are bounded by max_rounds=50
     and a converged round is a no-op here (no movers -> no moves -> state
@@ -191,48 +195,54 @@ def balanced_sql(edges_cte: str, all_vids_rel: str, nv_expr: str,
     inlines CTEs by default and each state is referenced ~5x per round,
     which would otherwise expand the plan exponentially.
 
-    Per round, from the working state: freq from current colors; movers =
-    base class oversize AND current class above avg; first-fit smallest
-    eligible color not used by any neighbour; per-color admission capacity
-    avg - freq in xxhash64-priority order; adjacent same-target movers
-    resolved to the higher priority.
+    Per round, from the working state: freq = Σ load per current color
+    (load = 1 per vertex, or degree for wbase); movers = base class
+    oversize AND current class above avg; first-fit smallest eligible
+    color not used by any neighbour (cbase admits oversize targets);
+    per-color admission capacity avg - freq consumed by cumulative load
+    in xxhash64-priority order (≡ ROW_NUMBER in the unit-load case);
+    adjacent same-target movers resolved to the higher priority.
     """
+    not_oversize = ("" if variant == "cbase"
+                    else "AND g.c NOT IN (SELECT c FROM boversize)")
     rounds = []
     for i in range(max_rounds):
         rounds.append(f"""
         freq{i} AS MATERIALIZED (
-            SELECT color AS c, COUNT(*) AS n FROM st{i} GROUP BY color
+            SELECT color AS c, SUM(w) AS n FROM st{i} GROUP BY color
         ),
         elig{i} AS MATERIALIZED (
             SELECT g.c FROM (SELECT UNNEST(range((SELECT ncolors FROM bparam))) AS c) g
             LEFT JOIN freq{i} fr ON fr.c = g.c
             WHERE COALESCE(fr.n, 0) < (SELECT avg_cap FROM bparam)
-              AND g.c NOT IN (SELECT c FROM boversize)
+              {not_oversize}
         ),
         mv{i} AS MATERIALIZED (
-            SELECT st.vid, st.prio FROM st{i} st
+            SELECT st.vid, st.prio, st.w FROM st{i} st
             JOIN boversize ob ON st.base_color = ob.c
             JOIN freq{i} oc ON st.color = oc.c
             WHERE oc.n > (SELECT avg_cap FROM bparam)
         ),
         pick{i} AS MATERIALIZED (
-            SELECT f2.vid, f2.prio, MIN(f2.t) AS t FROM (
-                SELECT mv.vid, mv.prio, el.c AS t
+            SELECT f2.vid, f2.prio, f2.w, MIN(f2.t) AS t FROM (
+                SELECT mv.vid, mv.prio, mv.w, el.c AS t
                 FROM mv{i} mv CROSS JOIN elig{i} el
                 WHERE NOT EXISTS (
                     SELECT 1 FROM cnbr e JOIN st{i} nb ON nb.vid = e.dst
                     WHERE e.src = mv.vid AND nb.color = el.c
                 )
-            ) f2 GROUP BY f2.vid, f2.prio
+            ) f2 GROUP BY f2.vid, f2.prio, f2.w
         ),
         adm{i} AS MATERIALIZED (
             SELECT vid, prio, t FROM (
                 SELECT p.vid, p.prio, p.t,
-                       ROW_NUMBER() OVER (PARTITION BY p.t ORDER BY p.prio DESC) AS rn,
+                       SUM(p.w) OVER (PARTITION BY p.t ORDER BY p.prio DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cw,
                        (SELECT avg_cap FROM bparam)
                        - COALESCE((SELECT n FROM freq{i} f WHERE f.c = p.t), 0) AS cap
                 FROM pick{i} p
-            ) WHERE rn <= cap
+            ) WHERE cw <= cap
         ),
         mov{i} AS MATERIALIZED (
             SELECT a.vid, a.t FROM adm{i} a
@@ -243,10 +253,30 @@ def balanced_sql(edges_cte: str, all_vids_rel: str, nv_expr: str,
         ),
         st{i + 1} AS MATERIALIZED (
             SELECT s.vid, CAST(COALESCE(m.t, s.color) AS INTEGER) AS color,
-                   s.prio, s.base_color
+                   s.prio, s.base_color, s.w
             FROM st{i} s LEFT JOIN mov{i} m ON m.vid = s.vid
         )""")
     round_ctes = ",".join(rounds)
+    if variant == "wbase":
+        load_expr = "CAST(COALESCE(d.w, 0) AS BIGINT)"
+        cap_sql = """
+        bparam AS MATERIALIZED (
+            -- ceil(total_w/ncolors) with truncating //
+            SELECT MAX(base_color) + 1 AS ncolors,
+                   ((SELECT SUM(w) FROM bload) + MAX(base_color))
+                   // (MAX(base_color) + 1) AS avg_cap
+            FROM ball
+        ),"""
+    else:
+        load_expr = "CAST(1 AS BIGINT)"
+        cap_sql = f"""
+        bparam AS MATERIALIZED (
+            -- ceil(nv/ncolors); DuckDB // truncates toward zero, so the
+            -- python -(-a//b) idiom would floor here — use (a+b-1)//b
+            SELECT MAX(base_color) + 1 AS ncolors,
+                   ({nv_expr} + MAX(base_color)) // (MAX(base_color) + 1) AS avg_cap
+            FROM ball
+        ),"""
     return f"""
         WITH RECURSIVE {edges_cte},
         {distance1_cte('edges')},
@@ -255,22 +285,22 @@ def balanced_sql(edges_cte: str, all_vids_rel: str, nv_expr: str,
             FROM {all_vids_rel} v
             LEFT JOIN cfinal f USING (vid)
         ),
-        bparam AS MATERIALIZED (
-            -- ceil(nv/ncolors); DuckDB // truncates toward zero, so the
-            -- python -(-a//b) idiom would floor here — use (a+b-1)//b
-            SELECT MAX(base_color) + 1 AS ncolors,
-                   ({nv_expr} + MAX(base_color)) // (MAX(base_color) + 1) AS avg_cap
-            FROM ball
+        bdeg AS MATERIALIZED (
+            SELECT src AS vid, COUNT(*) AS w FROM cnbr GROUP BY src
         ),
+        bload AS MATERIALIZED (
+            SELECT b.vid, b.base_color, {load_expr} AS w
+            FROM ball b LEFT JOIN bdeg d USING (vid)
+        ),{cap_sql}
         boversize AS MATERIALIZED (
-            SELECT base_color AS c FROM ball
+            SELECT base_color AS c FROM bload
             GROUP BY base_color
-            HAVING COUNT(*) > (SELECT avg_cap FROM bparam)
+            HAVING SUM(w) > (SELECT avg_cap FROM bparam)
         ),
         st0 AS MATERIALIZED (
-            SELECT b.vid, b.base_color AS color, x.prio, b.base_color
-            FROM ball b
-            JOIN (SELECT vid, prio FROM {xxh64_sql('ball', ['vid'], 'vid', '42', 'prio')}) x
+            SELECT b.vid, b.base_color AS color, x.prio, b.base_color, b.w
+            FROM bload b
+            JOIN (SELECT vid, prio FROM {xxh64_sql('bload', ['vid'], 'vid', '42', 'prio')}) x
               USING (vid)
         ),
         {round_ctes}

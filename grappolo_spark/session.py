@@ -85,3 +85,36 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def scaled_shuffle_partitions(spark: SparkSession, n_rows: int,
+                              rows_per_partition: int = 100_000):
+    """Clamp ``spark.sql.shuffle.partitions`` to the data for the scope.
+
+    Iterative drivers run dozens to hundreds of supersteps; on a SMALL
+    graph (a coarsened phase, a 10k-vertex transcript graph) every one of
+    those stages otherwise launches the full session-wide task count for
+    a few thousand rows — pure scheduling overhead that dominates wall
+    time (measured 2x on the 87-sweep directed Louvain run at sf0.01:
+    155s at 32 partitions, 80s at 8, AQE on in both). Partition count
+    never changes engine RESULTS (every operator is partition-invariant
+    by construction — pytest gates this against the oracles), only stage
+    granularity. On a large graph (n_rows / rows_per_partition >= the
+    session setting) this is a no-op, so the 100 TB path is untouched.
+    """
+    rows_per_partition = int(os.environ.get(
+        "SPARK_GRAFT_ROWS_PER_PART", str(rows_per_partition)))
+    prev = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    target = max(4, min(prev, -(-int(n_rows) // rows_per_partition)))
+    if target == prev:
+        yield prev
+        return
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield target
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(prev))

@@ -284,8 +284,12 @@ Each superstep pays a parallelism-independent driver term (job
 scheduling, barrier, checkpoint bookkeeping) — an Amdahl floor whose
 share shrinks as edge-work per superstep grows. {n_cyc} interleaved
 cycle(s) (within each cycle both sizes' {n_small}→{n_big} pairs are
-adjacent in time; raw numbers with their capacity brackets; the claim
-rests on the MEDIAN across cycles, not any single pair):
+adjacent in time; raw numbers with their capacity brackets; {
+    "the claim rests on the MEDIAN across cycles, not any single pair"
+    if n_cyc > 1 else
+    "with a single recorded cycle this window contributes ONE pair — "
+    "treat it as one sample, corroborated across windows below, not a "
+    "robust median on its own"}):
 
 | corpus | edge rows | cycle | local[{n_small}] e/s @ cap | local[{n_big}] e/s @ cap | raw {n_small}→{n_big} eff |
 | --- | --- | --- | --- | --- | --- |
@@ -501,6 +505,13 @@ Reproduce: ``python scripts/scaling_bench.py {n_convs} {repeats} {amort_convs} {
         return (f"{w['cap32_lo']:,}" if w["cap32_lo"] == w["cap32_hi"]
                 else f"{w['cap32_lo']:,}–{w['cap32_hi']:,}")
 
+    def _proto_median(ws, pinned):
+        vals = [w["norm_eff"] for w in ws if bool(w.get("pinned")) == pinned]
+        return f"{statistics.median(vals):.2f}" if vals else "n/a"
+
+    def _proto_count(ws, pinned):
+        return sum(1 for w in ws if bool(w.get("pinned")) == pinned)
+
     wrows = "\n".join(
         f"| {w['label']}{' (pinned)' if w.get('pinned') else ' (unpinned)'} "
         f"| {w.get('n_convs', 100000):,} | {w['cap8']:,} "
@@ -533,8 +544,13 @@ raw number with it:
 Raw efficiency spans {min(raws):.2f}–{max(raws):.2f} and tracks what
 the host offered; capacity-normalized efficiency — the engine's own
 conversion of offered compute, the quantity a dedicated-core N→4N
-cluster would see — has median **{statistics.median(norms):.2f}**
-(range {min(norms):.2f}–{max(norms):.2f}). The bracketing probes are
+cluster would see — is reported PER PROTOCOL (the doc above argues
+unpinned N-legs systematically over-measure N, so the two protocols
+are not poolable into one median): pinned-protocol median
+**{_proto_median(windows, True)}** ({_proto_count(windows, True)}
+window(s)), unpinned median {_proto_median(windows, False)}
+({_proto_count(windows, False)} window(s), historical context —
+superseded by the pinned protocol). The bracketing probes are
 6-s samples before/after each multi-minute leg, so a window where host
 load swings WITHIN a leg mismeasures the normalization too — the
 median across windows, not any single window, is the robust figure.

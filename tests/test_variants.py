@@ -212,6 +212,55 @@ def test_balanced_coloring_matches_oracle(spark, name, strategy):
     assert validate_coloring(df, got) == 0
 
 
+@pytest.mark.parametrize("variant", ["cbase", "wbase"])
+@pytest.mark.parametrize("strategy", ["first_fit", "least_used"])
+@pytest.mark.parametrize("name", ["karate", "star_hub"])
+def test_balanced_coloring_variants_match_oracle(spark, name, strategy, variant):
+    """cBase (oversize targets allowed) and wBase (degree-weighted load)
+    redistribution strategies vs their numpy twins (ref bColoring/
+    cBase.cpp:44-140, wBase.cpp:44-201)."""
+    edges, nv = fx.ALL_FIXTURES[name]()
+    rows = fx.symmetric_rows(edges)
+    df = fx.to_spark_edges(spark, edges)
+    colors_np, ncolors, _ = distance1_coloring_np(rows, nv)
+    colors_df, _, _ = distance1_coloring(spark, df, nv)
+    exp, exp_rounds = balanced_coloring_np(
+        rows, nv, colors_np, strategy=strategy, variant=variant)
+    got, rounds = balanced_coloring(
+        spark, df, colors_df, nv, strategy=strategy, variant=variant)
+    assert _collect(got, "color", nv) == exp, (name, strategy, variant)
+    assert rounds == exp_rounds
+    assert validate_coloring(df, got) == 0
+
+
+def test_balanced_coloring_wbase_balances_degree_load(spark):
+    """wBase balances Σ degree per class: on karate the distance-1
+    coloring piles the high-degree vertices into the early classes, and
+    the degree-weighted drain must lower the max WEIGHTED class load
+    (56 → 33 with 8 classes), which vertex-count balance alone would not
+    guarantee."""
+    edges, nv = fx.ALL_FIXTURES["karate"]()
+    rows = fx.symmetric_rows(edges)
+    df = fx.to_spark_edges(spark, edges)
+    colors_df, ncolors, _ = distance1_coloring(spark, df, nv)
+    deg = {}
+    for s, d, _w in rows:
+        if s != d:
+            deg[s] = deg.get(s, 0) + 1
+
+    def max_wload(cdf):
+        load = {}
+        for r in cdf.collect():
+            load[r["color"]] = load.get(r["color"], 0) + deg.get(r["vid"], 0)
+        return max(load.values())
+
+    before = max_wload(colors_df)
+    got, _ = balanced_coloring(spark, df, colors_df, nv, ncolors=8,
+                               variant="wbase")
+    assert max_wload(got) < before
+    assert validate_coloring(df, got) == 0
+
+
 def test_balanced_coloring_reduces_max_class(spark):
     """On the star graph the hub's leaves all share one color — an
     extremely oversized class the redistribution must drain toward
