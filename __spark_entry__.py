@@ -1029,85 +1029,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by measured cost, not by topic.
     """
     return {
-        # --- sub-second: LLM-pipeline codegen passes, tiny aggregates ----
-        "token_count_bpe": _q_token_count_bpe,
-        "hash_split": _q_hash_split,
-        "frame_sample": _q_frame_sample,                # multimodal (§2.10)
-        "dedup_exact": _q_dedup_exact,
-        "embed_centroids": _q_embed_centroids,
-        "multimodal_features": _q_multimodal_features,
-        "communities_renumber": _q_brand_communities,   # W1
-        "event_transitions": _q_event_transitions,
-        "pricing_summary": _q_pricing_summary,
-        "transcript_table": _q_transcript_table,        # north-rule input
-        "token_chunks": _q_token_chunks,
-        "multimodal_resize": _q_multimodal_resize,
-        "gini": _q_brand_gini,                          # A9
-        "text_stats": _q_text_stats,
-        "top_orders_revenue": _q_top_orders,
-        "multimodal_metadata": _q_multimodal_meta,
-        "doc_fingerprint": _q_fingerprint,
-        # --- 1-3 s: joins/aggs, ANN, dedup pipeline stages ---------------
-        "cluster_fscore": _q_brand_type_fscore,         # A11/C18
-        "ann_lsh_topk": _q_ann_lsh,
-        "nation_revenue": _q_nation_revenue,
-        "coarsen": _q_brand_coarsen,                    # C11
-        "ann_ivf_topk": _q_ann_ivf,
-        "graph_degrees": _q_degrees,                    # A1/A2
-        "embed_cosine_topk": _q_embed_topk,
-        "graph_stats": _q_graph_stats,                  # A13
-        "modularity": _q_brand_modularity,              # A6
-        "repetition_stats": _q_repetition_stats,
-        "simhash": _q_simhash,
-        "embed_near_dup_pairs": _q_embed_near_dups,
-        "simhash_near_pairs": _q_simhash_near_pairs,
-        "transcript_text_integrity": _q_transcript_text_integrity,
-        "minhash_signatures": _q_minhash_sigs,
-        "documents_decontaminated": _q_documents_decontaminated,
-        "stream_edge_etl": _q_stream_edge_etl,          # streaming (§2.9)
-        "minhash_lsh_pairs": _q_lsh_pairs,
-        "contamination_hits": _q_contamination_hits,
-        "stream_event_rollup": _q_stream_event_rollup,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        # --- 3-10 s: graph core, preprocessing, bounded kernels ----------
-        "triangles_total": _q_triangles_total,          # NS4
-        "vertex_following": _q_vertex_following,        # C17
-        "louvain_greedy_init": _q_louvain_init,
-        "label_propagation": _q_labelprop,              # NS3
-        "coloring_maxmin": _q_coloring_maxmin,          # C15
-        "transcript_context_edges": _q_transcript_context_edges,
-        "triangles_per_vertex": _q_triangles_pv,
-        "graph_edge_table": _q_edges,                   # §2.1
-        "stream_conversation_sessions": _q_stream_sessions,
-        "edge_jaccard": _q_jaccard,                     # C19
-        "vf_pipeline_coarse": _q_vf_pipeline,
-        "dedup_near_clusters": _q_dedup_near_clusters,
-        "louvain_sweeps_arrow": _q_louvain_sweeps_arrow,  # C2 fixed-budget
-        # --- 10-30 s: fixed-budget variant twins, iterative seeds --------
-        "documents_clean": _q_documents_clean,
-        "louvain_sweeps": _q_louvain_sweeps,            # C1-C4 fixed-budget
-        "transcript_reply_edges": _q_transcript_edges,
-        "louvain_resistance_sweeps": _q_louvain_resistance_sweeps,  # C9
-        "directed_louvain_sweeps": _q_directed_louvain_sweeps,      # C8
-        "personalized_pagerank": _q_personalized_pagerank,
-        "sparsify_topk": _q_sparsify,                   # T3
-        # --- 30 s+: full-convergence runs (each kernel above already
-        # --- gated by its cheap fixed-budget twin) -----------------------
-        "color_stats": _q_color_stats,                  # A12
-        "pagerank": _q_pagerank,                        # NS1
-        "coloring_balanced": _q_coloring_balanced,      # C16 (vBase)
-        "coloring_balanced_cbase": _q_coloring_balanced_cbase,  # C16 (cBase)
-        "coloring_balanced_wbase": _q_coloring_balanced_wbase,  # C16 (wBase)
-        "louvain_arrow": _q_louvain_arrow,
-        "louvain_two_phase": _q_louvain_two_phase,      # C10
-        "graph_coloring": _q_coloring,                  # C14
-        "transcript_pagerank": _q_transcript_pagerank,
-        "connected_components": _q_cc,                  # C20/NS2
-        "louvain_resistance": _q_louvain_resistance,    # C9 full
-        "louvain_communities": _q_louvain,              # C1-C11 full
-        "rcm_ordering": _q_rcm,                         # W4/C21
-        "louvain_colored": _q_louvain_colored,          # C6/C12 full
-        "directed_louvain": _q_directed_louvain,        # C8 full
+        "multimodal_metadata": _q_multimodal_meta,  # 0.4s
+        "hash_split": _q_hash_split,  # 0.6s
+        "pricing_summary": _q_pricing_summary,  # 0.6s
+        "text_stats": _q_text_stats,  # 0.6s
+        "doc_fingerprint": _q_fingerprint,  # 0.6s
+        "multimodal_features": _q_multimodal_features,  # 0.7s
+        "transcript_table": _q_transcript_table,  # north-rule input  # 0.7s
+        "token_chunks": _q_token_chunks,  # 0.7s
+        "embed_cosine_topk": _q_embed_topk,  # 0.7s
+        "graph_edge_table": _q_edges,  # §2.1  # 0.7s
+        "event_transitions": _q_event_transitions,  # 0.8s
+        "top_orders_revenue": _q_top_orders,  # 0.8s
+        "multimodal_resize": _q_multimodal_resize,  # 0.9s
+        "nation_revenue": _q_nation_revenue,  # 0.9s
+        "embed_centroids": _q_embed_centroids,  # 1.0s
+        "graph_degrees": _q_degrees,  # A1/A2  # 1.1s
+        "dedup_exact": _q_dedup_exact,  # 1.2s
+        "gini": _q_brand_gini,  # A9  # 1.2s
+        "communities_renumber": _q_brand_communities,  # W1  # 1.3s
+        "ann_ivf_topk": _q_ann_ivf,  # 1.3s
+        "graph_stats": _q_graph_stats,  # A13  # 1.4s
+        "repetition_stats": _q_repetition_stats,  # 1.6s
+        "embed_near_dup_pairs": _q_embed_near_dups,  # 1.6s
+        "coarsen": _q_brand_coarsen,  # C11  # 1.7s
+        "simhash": _q_simhash,  # 1.8s
+        "cluster_fscore": _q_brand_type_fscore,  # A11/C18  # 1.8s
+        "documents_decontaminated": _q_documents_decontaminated,  # 1.8s
+        "simhash_near_pairs": _q_simhash_near_pairs,  # 1.9s
+        "ann_lsh_topk": _q_ann_lsh,  # 1.9s
+        "ngram_jaccard_pairs": _q_ngram_jaccard,  # 1.9s
+        "modularity": _q_brand_modularity,  # A6  # 2.0s
+        "minhash_signatures": _q_minhash_sigs,  # 2.1s
+        "vertex_following": _q_vertex_following,  # C17  # 2.2s
+        "stream_event_rollup": _q_stream_event_rollup,  # 2.4s
+        "louvain_greedy_init": _q_louvain_init,  # 2.4s
+        "connected_components": _q_cc,  # C20/NS2  # 2.5s
+        "minhash_lsh_pairs": _q_lsh_pairs,  # 2.7s
+        "frame_sample": _q_frame_sample,  # multimodal (§2.10)  # 2.8s
+        "transcript_reply_edges": _q_transcript_edges,  # 3.1s
+        "triangles_total": _q_triangles_total,  # NS4  # 3.3s
+        "contamination_hits": _q_contamination_hits,  # 3.6s
+        "transcript_context_edges": _q_transcript_context_edges,  # 3.7s
+        "token_count_bpe": _q_token_count_bpe,  # 4.0s
+        "transcript_text_integrity": _q_transcript_text_integrity,  # 4.0s
+        "label_propagation": _q_labelprop,  # NS3  # 4.3s
+        "triangles_per_vertex": _q_triangles_pv,  # 4.4s
+        "dedup_near_clusters": _q_dedup_near_clusters,  # 4.6s
+        "stream_edge_etl": _q_stream_edge_etl,  # streaming (§2.9)  # 4.9s
+        "coloring_maxmin": _q_coloring_maxmin,  # C15  # 5.2s
+        "documents_clean": _q_documents_clean,  # 5.2s
+        "pagerank": _q_pagerank,  # NS1  # 6.1s
+        "vf_pipeline_coarse": _q_vf_pipeline,  # 6.7s
+        "louvain_sweeps": _q_louvain_sweeps,  # C1-C4 fixed-budget  # 6.7s
+        "louvain_sweeps_arrow": _q_louvain_sweeps_arrow,  # C2 fixed-budget  # 7.0s
+        "directed_louvain_sweeps": _q_directed_louvain_sweeps,  # C8  # 7.3s
+        "stream_conversation_sessions": _q_stream_sessions,  # 7.4s
+        "louvain_resistance_sweeps": _q_louvain_resistance_sweeps,  # C9  # 7.8s
+        "transcript_pagerank": _q_transcript_pagerank,  # 8.2s
+        "rcm_ordering": _q_rcm,  # W4/C21  # 8.4s
+        "edge_jaccard": _q_jaccard,  # C19  # 8.6s
+        "personalized_pagerank": _q_personalized_pagerank,  # 9.0s
+        "sparsify_topk": _q_sparsify,  # T3  # 10.9s
+        "louvain_two_phase": _q_louvain_two_phase,  # C10  # 16.6s
+        "color_stats": _q_color_stats,  # A12  # 24.1s
+        "graph_coloring": _q_coloring,  # C14  # 26.9s
+        "louvain_communities": _q_louvain,  # C1-C11 full  # 27.3s
+        "louvain_arrow": _q_louvain_arrow,  # 27.6s
+        "coloring_balanced_cbase": _q_coloring_balanced_cbase,  # C16 (cBase)  # 30.7s
+        "coloring_balanced_wbase": _q_coloring_balanced_wbase,  # C16 (wBase)  # 35.0s
+        "coloring_balanced": _q_coloring_balanced,  # C16 (vBase)  # 35.3s
+        "louvain_resistance": _q_louvain_resistance,  # C9 full  # 39.2s
+        "directed_louvain": _q_directed_louvain,  # C8 full  # 99.4s
+        "louvain_colored": _q_louvain_colored,  # C6/C12 full  # 123.0s
     }
 
 

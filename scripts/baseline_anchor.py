@@ -148,6 +148,19 @@ def main():
     dq = (ref["modularity"] - eng["modularity"]
           if ref.get("modularity") is not None else None)
     print(f"delta_modularity={dq}", flush=True)
+
+    # append-only record; scripts/scaling_bench.py renders these rows into
+    # BENCH.md's "Same-graph anchor" section (BENCH.md is generated, so
+    # the data must live outside it)
+    rec_path = pathlib.Path(__file__).resolve().parent / "anchor_results.json"
+    import json as _json
+    recs = _json.loads(rec_path.read_text()) if rec_path.exists() else []
+    recs.append({
+        "corpus": corpus, "sf_dir": sf_dir, "nv": nv, "sym_rows": n_rows,
+        "threads": threads, "reference": ref, "engine": eng,
+        "delta_modularity": dq,
+    })
+    rec_path.write_text(_json.dumps(recs, indent=1))
     spark.stop()
 
 
