@@ -463,17 +463,16 @@ above):
   single-box 4x measurement. The amortization section below MEASURES
   this claim rather than asserting it.
 {amort_md}
-Best steady-state headline observed during development (100,000-conv /
-61.3M-edge-row corpus):
-**9.06M edges/s/superstep** (``python bench.py``, local[32]; PageRank
-alone 16.3M with chained supersteps, Louvain Arrow sweep 6.27M) — vs
-the BASELINE.md anchors of 3.5M (com-orkut) and 8.8M (uk2002), i.e.
-2.6x the com-orkut anchor and 1.03x the flagship uk2002 anchor.
-Medians of 3 back-to-back repeats range 4.2–7.9M across co-tenant
-windows (every repeat reported, no best-of); single-repeat PageRank
-supersteps alone sustain 13-16M edges/s in every window. Round 1
-measured 1.09M on the same metric; the round-2 best before superstep
-chaining was 7.90M.
+Best steady-state headline observed during development (200,000-conv /
+122.6M-edge-row corpus, round-3 pinned window):
+**12.89M edges/s/superstep** (``scripts/scaling_bench.py`` local[32]
+leg; PageRank alone 20.8M with chained supersteps, Louvain Arrow sweep
+9.33M) — vs the BASELINE.md anchors of 3.5M (com-orkut) and 8.8M
+(uk2002), i.e. 3.7x the com-orkut anchor and 1.46x the flagship uk2002
+anchor. Medians across co-tenant windows range 4.2–11.6M (every repeat
+reported, no best-of); single-repeat PageRank supersteps alone sustain
+13–21M edges/s in every window. Round 1 measured 1.09M on the same
+metric; round 2's best was 9.06M.
 
 Reproduce: ``python scripts/scaling_bench.py {n_convs} {repeats} {amort_convs} {amort_cycles}``.
 """
