@@ -151,6 +151,28 @@ def main():
         ("AQE plan", lambda p: "AdaptiveSparkPlan" in p),
     ], execute=True)
 
+    # 5b. renumber: the scalable two-pass rank must produce NO
+    # single-partition exchange anywhere in its plan (the round-2 verdict
+    # flagged the old global dense_rank window — `Exchange SinglePartition`
+    # over the community mapping, a scale-killer after phase 1 at 10^12
+    # vertices). assign_dense_ids range-partitions instead.
+    from grappolo_spark.operators.louvain import renumber
+
+    c5b = q4.groupBy(F.col("src").alias("vid")).agg(
+        F.min("dst").alias("comm")
+    )
+    ren5b, _n5b = renumber(c5b)
+    audit("renumber_no_single_partition", ren5b, [
+        # the range-partitioned rank itself materializes inside
+        # assign_dense_ids' checkpoint; what must hold on the visible plan
+        # is the absence of any single-partition exchange (the old global
+        # window's signature)
+        ("no Exchange SinglePartition in the renumber plan",
+         lambda p: "SinglePartition" not in p),
+        ("per-partition rank window keyed on _pid (not a global window)",
+         lambda p: "_pid" in p),
+    ], execute=True)
+
     # 6. Python-boundary discipline: the north rule requires vectorized
     # pandas/Arrow UDFs ONLY. Plan-level: no audited plan may contain a
     # row-at-a-time BatchEvalPython node (Arrow paths show ArrowEvalPython
