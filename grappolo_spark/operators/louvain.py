@@ -1299,6 +1299,7 @@ def louvain_coloring(
     threshold: float = 1e-6,
     min_graph_size: int = 100000,
     max_phases: int = 200,
+    max_inner: int = 25,
 ) -> LouvainResult:
     """Multi-phase coloring driver (ref C12, ``runMultiPhaseColoring.cpp:
     51-239``): while the graph is larger than ``min_graph_size``, run
@@ -1320,7 +1321,8 @@ def louvain_coloring(
 
     while g_nv > min_graph_size and phases < max_phases:
         colors, _, _ = distance1_coloring(spark, g_edges, g_nv)
-        res = louvain_phase_colored(spark, g_edges, g_nv, colors, thresh=c_thresh)
+        res = louvain_phase_colored(spark, g_edges, g_nv, colors,
+                                    thresh=c_thresh, max_inner=max_inner)
         phases += 1
         tot_iters += res.num_iters
         c, n_clusters = renumber(res.c)
@@ -1342,7 +1344,7 @@ def louvain_coloring(
         g_nv = n_clusters
 
     fine = louvain(spark, g_edges, g_nv, threshold=threshold,
-                   max_phases=max_phases)
+                   max_phases=max_phases, max_inner=max_inner)
     phases += fine.phases
     tot_iters += fine.total_iters
     trajectory.extend(fine.trajectory)

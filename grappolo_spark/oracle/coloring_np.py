@@ -159,9 +159,12 @@ def louvain_coloring_np(
     threshold=1e-6,
     min_graph_size=1,
     max_phases=200,
+    max_inner=25,
 ):
     """C12 driver: colored phases at c_thresh while nv > min_graph_size,
-    then the basic multi-phase driver at threshold on the coarse graph."""
+    then the basic multi-phase driver at threshold on the coarse graph.
+    ``max_inner`` bounds every phase's sweep count (colored and tail) —
+    the reference's ``numIters`` cap, shared with the engine twin."""
     g_edges, g_nv = edges, nv
     c_orig = None
     phases = 0
@@ -172,7 +175,7 @@ def louvain_coloring_np(
     while g_nv > min_graph_size and phases < max_phases:
         colors, _, _ = distance1_coloring_np(g_edges, g_nv)
         c, mod, iters, moved, _traj = louvain_phase_colored_np(
-            g_edges, g_nv, colors, thresh=c_thresh
+            g_edges, g_nv, colors, thresh=c_thresh, max_inner=max_inner
         )
         phases += 1
         total_iters += iters
@@ -190,7 +193,8 @@ def louvain_coloring_np(
         curr_mod = mod
 
     # finish with the basic driver at the fine threshold
-    res = louvain_multiphase_np(g_edges, g_nv, threshold=threshold)
+    res = louvain_multiphase_np(g_edges, g_nv, threshold=threshold,
+                                max_inner=max_inner)
     phases += res["phases"]
     total_iters += res["total_iters"]
     trajectory.extend(res["trajectory"])
@@ -254,17 +258,28 @@ def maxmin_coloring_np(edges, nv, n_hash=4, n_itrs=2):
     return colors, sum(1 for c in colors if c != max_color), rounds
 
 
+MBASE_BUCKET_CAP = 1024    # ref bColoring/mBase.cpp:95-96 (avg clamp)
+MBASE_OVERSIZE = 1088      # ref bColoring/mBase.cpp:104-106 (donor gate)
+
+
 def balanced_coloring_np(edges, nv, colors, ncolors=None,
                          strategy="first_fit", max_rounds=50,
-                         variant="vbase"):
+                         variant="vbase",
+                         bucket_cap=MBASE_BUCKET_CAP,
+                         oversize_thresh=MBASE_OVERSIZE):
     """Oracle twin of ``operators.coloring.balanced_coloring`` (ref C16,
     ``Coloring/vBase.cpp:6-169`` / ``bColoring/cBase.cpp:44-140`` /
-    ``bColoring/wBase.cpp:44-201``), same deterministic spec per variant:
-    Jacobi rounds, xxhash64-priority admission up to per-color capacity
-    avg - freq (load-weighted for wbase), adjacent same-target ties to
-    the higher priority. ``cbase`` drops the target-not-oversize
-    exclusion; ``wbase`` balances Σ degree per class with avg =
-    ceil(Σ_v deg(v) / ncolors).
+    ``bColoring/wBase.cpp:44-201`` / ``bColoring/mBase.cpp:44-213``),
+    same deterministic spec per variant: Jacobi rounds, xxhash64-priority
+    admission up to per-color capacity avg - freq (load-weighted for
+    wbase), adjacent same-target ties to the higher priority. ``cbase``
+    drops the target-not-oversize exclusion; ``wbase`` balances Σ degree
+    per class with avg = ceil(Σ_v deg(v) / ncolors); ``mbase`` is the
+    vbase skeleton with the reference's absolute bin capacities — avg is
+    clamped to ``bucket_cap`` when ceil(nv/ncolors) > bucket_cap + 64
+    (``mBase.cpp:95-96``) and a class is a donor when its BASE size
+    exceeds the hard ``oversize_thresh`` (``:104-106``), not when it
+    exceeds avg.
 
     Returns (colors list, rounds_run).
     """
@@ -286,11 +301,16 @@ def balanced_coloring_np(edges, nv, colors, ncolors=None,
     else:
         w = [1] * nv
         avg = -(-nv // ncolors) if ncolors else 0
+    if variant == "mbase" and avg > bucket_cap + 64:
+        avg = bucket_cap
 
     freq0 = {}
     for v, c in enumerate(base):
         freq0[c] = freq0.get(c, 0) + w[v]
-    oversize = {c for c, n in freq0.items() if n > avg}
+    if variant == "mbase":
+        oversize = {c for c, n in freq0.items() if n > oversize_thresh}
+    else:
+        oversize = {c for c, n in freq0.items() if n > avg}
     if not oversize:
         return colors, 0
     prio = {v: xxhash64(v) for v in range(nv)}
@@ -303,6 +323,8 @@ def balanced_coloring_np(edges, nv, colors, ncolors=None,
         eligible = [c for c in range(ncolors)
                     if freq.get(c, 0) < avg
                     and (variant == "cbase" or c not in oversize)]
+        # mbase keeps the vbase donor rule (base-oversize AND currently
+        # above avg) but with the clamped avg and threshold oversize set
         movers = [v for v in range(nv)
                   if base[v] in oversize and freq.get(colors[v], 0) > avg]
         if not eligible or not movers:
@@ -350,8 +372,159 @@ def balanced_coloring_np(edges, nv, colors, ncolors=None,
     return colors, rounds
 
 
+def bbase_coloring_np(edges, nv, colors, ncolors=None):
+    """Oracle twin of the ``bbase`` batch redistribution (ref C16,
+    ``bColoring/bBase.cpp:44-146`` ``schRedistribution``): ONE planned
+    batch round. The driver builds a move plan — donors (classes with
+    size > avg = ceil(nv/ncolors)) in ascending color order each walk the
+    target colors from ``ncolors-1`` DOWNWARD (``:88``, shift = 0),
+    shipping ``min(avg - freq[ti], freq[ci] - avg)`` vertices per
+    under-avg target while updating the planned freqs — so target
+    capacity is consumed globally as donors drain. A donor ships the
+    HEAD of its member list (``startPost`` slabs, ``:98-99``); the
+    reference's member order is the scheduling-dependent
+    ``buildColorsIndex`` fill, made deterministic here as descending
+    xxhash64 priority (the family's admission order). A planned vertex
+    actually moves iff no neighbour holds the target color (``:125-131``)
+    — checked against the BASE coloring snapshot — and, because the
+    reference's live-array check is racy for two adjacent movers with
+    the same target, the engine adds the family's deterministic
+    resolution: the higher priority moves, the lower stays.
+
+    Returns (colors list, rounds_run ∈ {0, 1}).
+    """
+    nbrs = [set() for _ in range(nv)]
+    for s, d, _ in edges:
+        s, d = int(s), int(d)
+        if s != d:
+            nbrs[s].add(d)
+
+    base = list(colors)
+    if ncolors is None:
+        ncolors = max(base) + 1 if base else 0
+    avg = -(-nv // ncolors) if ncolors else 0
+    freq0 = {}
+    for c in base:
+        freq0[c] = freq0.get(c, 0) + 1
+    donors = sorted(c for c in freq0 if freq0[c] > avg)
+    if not donors:
+        return list(base), 0
+
+    # plan: per donor, ordered (target, slab_start, slab_end) intervals
+    new_freq = dict(freq0)
+    plan = {}
+    for ci in donors:
+        st_post = 0
+        slabs = []
+        for ti in range(ncolors - 1, -1, -1):
+            if new_freq[ci] <= avg:
+                break
+            if ti == ci:
+                continue
+            if new_freq.get(ti, 0) < avg:
+                n_move = min(avg - new_freq.get(ti, 0), new_freq[ci] - avg)
+                slabs.append((ti, st_post, st_post + n_move))
+                st_post += n_move
+                new_freq[ci] -= n_move
+                new_freq[ti] = new_freq.get(ti, 0) + n_move
+        plan[ci] = slabs
+
+    prio = {v: xxhash64(v) for v in range(nv)}
+    # rank members of each donor class by descending priority
+    target_of = {}
+    for ci, slabs in plan.items():
+        members = sorted((v for v in range(nv) if base[v] == ci),
+                         key=lambda x: -prio[x])
+        for ti, st, en in slabs:
+            for v in members[st:en]:
+                target_of[v] = ti
+
+    out = list(base)
+    for v, ti in target_of.items():
+        if any(base[j] == ti for j in nbrs[v]):
+            continue
+        if any(
+            j in target_of and target_of[j] == ti and prio[j] > prio[v]
+            for j in nbrs[v]
+        ):
+            continue
+        out[v] = ti
+    return out, 1
+
+
+def rbase_coloring_np(edges, nv, colors, ncolors=None, max_rounds=50):
+    """Oracle twin of the ``rbase`` capacity-bounded RE-coloring (ref C16,
+    ``bColoring/rBase.cpp:44-179`` ``reColor``): every vertex is recolored
+    from scratch; a vertex takes the smallest color that is (a) absent
+    from its already-recolored neighbourhood and (b) below capacity —
+    ``newFreq[c] < avg`` (``:117-122``) — searching PAST ncolors when all
+    low colors are full or conflicted (the reference scans up to
+    MaxDegree, ``:118``), so the palette may grow. The reference's
+    atomic-freq/requeue scheduling is made deterministic exactly like the
+    rest of the family: Jacobi rounds over the still-uncolored set,
+    per-color admission capacity ``avg - freq`` granted in descending
+    xxhash64 priority, adjacent same-tentative movers resolved to the
+    higher priority, losers re-queued. The reference's reverse-color
+    queue order (``:73-76``) is scheduling metadata with no deterministic
+    analogue and is replaced by the priority order. If ``max_rounds``
+    ends before every vertex recolors (never on the gate corpora), the
+    leftovers keep their base color.
+
+    Returns (colors list, rounds_run).
+    """
+    nbrs = [set() for _ in range(nv)]
+    for s, d, _ in edges:
+        s, d = int(s), int(d)
+        if s != d:
+            nbrs[s].add(d)
+
+    base = list(colors)
+    if ncolors is None:
+        ncolors = max(base) + 1 if base else 0
+    avg = -(-nv // ncolors) if ncolors else 0
+    prio = {v: xxhash64(v) for v in range(nv)}
+
+    new = [None] * nv
+    freq = {}
+    rounds = 0
+    while rounds < max_rounds and any(c is None for c in new):
+        rounds += 1
+        full = {c for c, n in freq.items() if n >= avg}
+        tent = {}
+        for v in range(nv):
+            if new[v] is not None:
+                continue
+            used = {new[j] for j in nbrs[v] if new[j] is not None}
+            t = 0
+            while t in used or t in full:
+                t += 1
+            tent[v] = t
+        by_target = {}
+        for v, t in tent.items():
+            by_target.setdefault(t, []).append(v)
+        admitted = {}
+        for t, vs in by_target.items():
+            cap = avg - freq.get(t, 0)
+            for i, v in enumerate(sorted(vs, key=lambda x: -prio[x])):
+                if i >= cap:
+                    break
+                admitted[v] = t
+        for v, t in admitted.items():
+            if any(
+                j in admitted and admitted[j] == t and prio[j] > prio[v]
+                for j in nbrs[v]
+            ):
+                continue
+            new[v] = t
+            freq[t] = freq.get(t, 0) + 1
+
+    out = [new[v] if new[v] is not None else base[v] for v in range(nv)]
+    return out, rounds
+
+
 def louvain_coloring_schedule_np(edges, nv, c_thresh=1e-2, threshold=1e-6,
-                                 min_graph_size=1, max_phases=200):
+                                 min_graph_size=1, max_phases=200,
+                                 max_inner=25):
     """Unroll schedule of the exact ``louvain_coloring_np`` run — the
     parameters for ``oracle.louvain_sql.louvain_coloring_full_sql``.
 
@@ -374,7 +547,7 @@ def louvain_coloring_schedule_np(edges, nv, c_thresh=1e-2, threshold=1e-6,
     while g_nv > min_graph_size and phases < max_phases:
         colors, _, _ = distance1_coloring_np(g_edges, g_nv)
         c, _mod, iters, moved, _ = louvain_phase_colored_np(
-            g_edges, g_nv, colors, thresh=c_thresh
+            g_edges, g_nv, colors, thresh=c_thresh, max_inner=max_inner
         )
         phases += 1
         colored.append((iters, (max(colors) + 1) if colors else 1))
@@ -384,5 +557,5 @@ def louvain_coloring_schedule_np(edges, nv, c_thresh=1e-2, threshold=1e-6,
             break
         g_edges, _ = coarsen_np(g_edges, c, n_clusters)
         g_nv = n_clusters
-    tail = louvain_schedule_np(g_edges, g_nv)
+    tail = louvain_schedule_np(g_edges, g_nv, max_inner=max_inner)
     return {"colored": colored, "tail": tail, "tail_on_input": tail_on_input}

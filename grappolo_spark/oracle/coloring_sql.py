@@ -180,106 +180,20 @@ def maxmin_sql(edges_cte: str, all_vids_rel: str,
     """
 
 
-def balanced_sql(edges_cte: str, all_vids_rel: str, nv_expr: str,
-                 max_rounds: int = 50, variant: str = "vbase") -> str:
-    """first_fit balanced redistribution over the distance-1 base coloring
-    — twin of ``operators.coloring.balanced_coloring`` for all three
-    reference strategy families (``variant`` = vbase | cbase | wbase,
-    see that docstring for the per-variant semantics and the wbase
-    avg-capacity deviation).
+MBASE_BUCKET_CAP = 1024    # ref bColoring/mBase.cpp:95-96 (avg clamp)
+MBASE_OVERSIZE = 1088      # ref bColoring/mBase.cpp:104-106 (donor gate)
 
-    Unrolled (not recursive): engine rounds are bounded by max_rounds=50
-    and a converged round is a no-op here (no movers -> no moves -> state
-    unchanged), so st_50 equals the engine's fixed point for any actual
-    round count <= 50. Every per-round CTE is MATERIALIZED — DuckDB
-    inlines CTEs by default and each state is referenced ~5x per round,
-    which would otherwise expand the plan exponentially.
+#: variants sharing the Jacobi-round redistribution skeleton
+_ROUND_VARIANTS = ("vbase", "cbase", "wbase", "mbase")
 
-    Per round, from the working state: freq = Σ load per current color
-    (load = 1 per vertex, or degree for wbase); movers = base class
-    oversize AND current class above avg; first-fit smallest eligible
-    color not used by any neighbour (cbase admits oversize targets);
-    per-color admission capacity avg - freq consumed by cumulative load
-    in xxhash64-priority order (≡ ROW_NUMBER in the unit-load case);
-    adjacent same-target movers resolved to the higher priority.
-    """
-    not_oversize = ("" if variant == "cbase"
-                    else "AND g.c NOT IN (SELECT c FROM boversize)")
-    rounds = []
-    for i in range(max_rounds):
-        rounds.append(f"""
-        freq{i} AS MATERIALIZED (
-            SELECT color AS c, SUM(w) AS n FROM st{i} GROUP BY color
-        ),
-        elig{i} AS MATERIALIZED (
-            SELECT g.c FROM (SELECT UNNEST(range((SELECT ncolors FROM bparam))) AS c) g
-            LEFT JOIN freq{i} fr ON fr.c = g.c
-            WHERE COALESCE(fr.n, 0) < (SELECT avg_cap FROM bparam)
-              {not_oversize}
-        ),
-        mv{i} AS MATERIALIZED (
-            SELECT st.vid, st.prio, st.w FROM st{i} st
-            JOIN boversize ob ON st.base_color = ob.c
-            JOIN freq{i} oc ON st.color = oc.c
-            WHERE oc.n > (SELECT avg_cap FROM bparam)
-        ),
-        pick{i} AS MATERIALIZED (
-            SELECT f2.vid, f2.prio, f2.w, MIN(f2.t) AS t FROM (
-                SELECT mv.vid, mv.prio, mv.w, el.c AS t
-                FROM mv{i} mv CROSS JOIN elig{i} el
-                WHERE NOT EXISTS (
-                    SELECT 1 FROM cnbr e JOIN st{i} nb ON nb.vid = e.dst
-                    WHERE e.src = mv.vid AND nb.color = el.c
-                )
-            ) f2 GROUP BY f2.vid, f2.prio, f2.w
-        ),
-        adm{i} AS MATERIALIZED (
-            SELECT vid, prio, t FROM (
-                SELECT p.vid, p.prio, p.t,
-                       SUM(p.w) OVER (PARTITION BY p.t ORDER BY p.prio DESC
-                                      ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND CURRENT ROW) AS cw,
-                       (SELECT avg_cap FROM bparam)
-                       - COALESCE((SELECT n FROM freq{i} f WHERE f.c = p.t), 0) AS cap
-                FROM pick{i} p
-            ) WHERE cw <= cap
-        ),
-        mov{i} AS MATERIALIZED (
-            SELECT a.vid, a.t FROM adm{i} a
-            WHERE NOT EXISTS (
-                SELECT 1 FROM cnbr e JOIN adm{i} o ON o.vid = e.dst
-                WHERE e.src = a.vid AND o.t = a.t AND o.prio > a.prio
-            )
-        ),
-        st{i + 1} AS MATERIALIZED (
-            SELECT s.vid, CAST(COALESCE(m.t, s.color) AS INTEGER) AS color,
-                   s.prio, s.base_color, s.w
-            FROM st{i} s LEFT JOIN mov{i} m ON m.vid = s.vid
-        )""")
-    round_ctes = ",".join(rounds)
-    if variant == "wbase":
-        load_expr = "CAST(COALESCE(d.w, 0) AS BIGINT)"
-        cap_sql = """
-        bparam AS MATERIALIZED (
-            -- ceil(total_w/ncolors) with truncating //
-            SELECT MAX(base_color) + 1 AS ncolors,
-                   ((SELECT SUM(w) FROM bload) + MAX(base_color))
-                   // (MAX(base_color) + 1) AS avg_cap
-            FROM ball
-        ),"""
-    else:
-        load_expr = "CAST(1 AS BIGINT)"
-        cap_sql = f"""
-        bparam AS MATERIALIZED (
-            -- ceil(nv/ncolors); DuckDB // truncates toward zero, so the
-            -- python -(-a//b) idiom would floor here — use (a+b-1)//b
-            SELECT MAX(base_color) + 1 AS ncolors,
-                   ({nv_expr} + MAX(base_color)) // (MAX(base_color) + 1) AS avg_cap
-            FROM ball
-        ),"""
+
+def _shared_base_ctes(all_vids_rel: str) -> str:
+    """CTEs shared by every balanced-family variant: the base coloring
+    joined to the dense vertex space (``ball``), neighbour degree counts
+    (``bdeg``) and the xxhash64 priorities (``bprio``). Assumes
+    ``distance1_cte('edges')`` (``cnbr``/``cfinal``) precedes."""
+    prio_rel = xxh64_sql("ball", ["vid"], "vid", "42", "prio")
     return f"""
-        WITH RECURSIVE {edges_cte},
-        {distance1_cte('edges')},
         ball AS MATERIALIZED (
             SELECT v.vid, CAST(COALESCE(f.color, 0) AS INTEGER) AS base_color
             FROM {all_vids_rel} v
@@ -288,21 +202,335 @@ def balanced_sql(edges_cte: str, all_vids_rel: str, nv_expr: str,
         bdeg AS MATERIALIZED (
             SELECT src AS vid, COUNT(*) AS w FROM cnbr GROUP BY src
         ),
-        bload AS MATERIALIZED (
+        bprio AS MATERIALIZED (SELECT vid, prio FROM {prio_rel})
+    """
+
+
+def _balanced_variant_ctes(p: str, variant: str, nv_expr: str,
+                           max_rounds: int,
+                           bucket_cap: int = MBASE_BUCKET_CAP,
+                           oversize_thresh: int = MBASE_OVERSIZE) -> str:
+    """Prefixed WITH-body for one Jacobi-round variant computing
+    ``{p}final`` (vid, color); see ``balanced_sql`` for the spec."""
+    not_oversize = ("" if variant == "cbase"
+                    else f"AND g.c NOT IN (SELECT c FROM {p}over)")
+    rounds = []
+    for i in range(max_rounds):
+        rounds.append(f"""
+        {p}freq{i} AS MATERIALIZED (
+            SELECT color AS c, SUM(w) AS n FROM {p}st{i} GROUP BY color
+        ),
+        {p}elig{i} AS MATERIALIZED (
+            SELECT g.c FROM (SELECT UNNEST(range((SELECT ncolors FROM {p}param))) AS c) g
+            LEFT JOIN {p}freq{i} fr ON fr.c = g.c
+            WHERE COALESCE(fr.n, 0) < (SELECT avg_cap FROM {p}param)
+              {not_oversize}
+        ),
+        {p}mv{i} AS MATERIALIZED (
+            SELECT st.vid, st.prio, st.w FROM {p}st{i} st
+            JOIN {p}over ob ON st.base_color = ob.c
+            JOIN {p}freq{i} oc ON st.color = oc.c
+            WHERE oc.n > (SELECT avg_cap FROM {p}param)
+        ),
+        {p}pick{i} AS MATERIALIZED (
+            SELECT f2.vid, f2.prio, f2.w, MIN(f2.t) AS t FROM (
+                SELECT mv.vid, mv.prio, mv.w, el.c AS t
+                FROM {p}mv{i} mv CROSS JOIN {p}elig{i} el
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM cnbr e JOIN {p}st{i} nb ON nb.vid = e.dst
+                    WHERE e.src = mv.vid AND nb.color = el.c
+                )
+            ) f2 GROUP BY f2.vid, f2.prio, f2.w
+        ),
+        {p}adm{i} AS MATERIALIZED (
+            SELECT vid, prio, t FROM (
+                SELECT pk.vid, pk.prio, pk.t,
+                       SUM(pk.w) OVER (PARTITION BY pk.t ORDER BY pk.prio DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cw,
+                       (SELECT avg_cap FROM {p}param)
+                       - COALESCE((SELECT n FROM {p}freq{i} f WHERE f.c = pk.t), 0) AS cap
+                FROM {p}pick{i} pk
+            ) WHERE cw <= cap
+        ),
+        {p}mov{i} AS MATERIALIZED (
+            SELECT a.vid, a.t FROM {p}adm{i} a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cnbr e JOIN {p}adm{i} o ON o.vid = e.dst
+                WHERE e.src = a.vid AND o.t = a.t AND o.prio > a.prio
+            )
+        ),
+        {p}st{i + 1} AS MATERIALIZED (
+            SELECT s.vid, CAST(COALESCE(m.t, s.color) AS INTEGER) AS color,
+                   s.prio, s.base_color, s.w
+            FROM {p}st{i} s LEFT JOIN {p}mov{i} m ON m.vid = s.vid
+        )""")
+    round_ctes = ",".join(rounds)
+    if variant == "wbase":
+        load_expr = "CAST(COALESCE(d.w, 0) AS BIGINT)"
+        cap_sql = f"""
+        {p}param AS MATERIALIZED (
+            -- ceil(total_w/ncolors) with truncating //
+            SELECT MAX(base_color) + 1 AS ncolors,
+                   ((SELECT SUM(w) FROM {p}load) + MAX(base_color))
+                   // (MAX(base_color) + 1) AS avg_cap
+            FROM ball
+        ),"""
+    else:
+        # ceil(nv/ncolors); DuckDB // truncates toward zero, so the
+        # python -(-a//b) idiom would floor here — use (a+b-1)//b.
+        # mbase clamps avg to the reference's absolute bin capacity
+        # (mBase.cpp:95-96).
+        avg_raw = f"({nv_expr} + MAX(base_color)) // (MAX(base_color) + 1)"
+        avg_expr = (
+            f"CASE WHEN {avg_raw} > {bucket_cap + 64} THEN {bucket_cap} "
+            f"ELSE {avg_raw} END" if variant == "mbase" else avg_raw
+        )
+        cap_sql = f"""
+        {p}param AS MATERIALIZED (
+            SELECT MAX(base_color) + 1 AS ncolors,
+                   {avg_expr} AS avg_cap
+            FROM ball
+        ),"""
+    over_bound = (str(oversize_thresh) if variant == "mbase"
+                  else f"(SELECT avg_cap FROM {p}param)")
+    return f"""
+        {p}load AS MATERIALIZED (
             SELECT b.vid, b.base_color, {load_expr} AS w
             FROM ball b LEFT JOIN bdeg d USING (vid)
         ),{cap_sql}
-        boversize AS MATERIALIZED (
-            SELECT base_color AS c FROM bload
+        {p}over AS MATERIALIZED (
+            SELECT base_color AS c FROM {p}load
             GROUP BY base_color
-            HAVING SUM(w) > (SELECT avg_cap FROM bparam)
+            HAVING SUM(w) > {over_bound}
         ),
-        st0 AS MATERIALIZED (
+        {p}st0 AS MATERIALIZED (
             SELECT b.vid, b.base_color AS color, x.prio, b.base_color, b.w
-            FROM bload b
-            JOIN (SELECT vid, prio FROM {xxh64_sql('bload', ['vid'], 'vid', '42', 'prio')}) x
-              USING (vid)
+            FROM {p}load b JOIN bprio x USING (vid)
         ),
-        {round_ctes}
-        SELECT vid, color FROM st{max_rounds}
+        {round_ctes},
+        {p}final AS (SELECT vid, color FROM {p}st{max_rounds})
+    """
+
+
+def _bbase_ctes(p: str, nv_expr: str) -> str:
+    """Prefixed WITH-body for the bBase batch plan computing ``{p}final``
+    — twin of ``operators.coloring.bbase_coloring`` (ref
+    ``bColoring/bBase.cpp:44-146``). The sequential donor→target walk is
+    expressed as interval overlap: donors (ascending color) own
+    cumulative-surplus offsets, targets (DESCENDING color, the ``:88``
+    walk direction) own cumulative-deficit offsets, and donor-class
+    member r (descending-priority rank) ships to the target whose
+    deficit interval contains its global offset — exactly the walk's
+    fixpoint because each target fills to avg before the cursor moves."""
+    return f"""
+        {p}freq AS MATERIALIZED (
+            SELECT base_color AS c, COUNT(*) AS n FROM ball GROUP BY 1
+        ),
+        {p}param AS MATERIALIZED (
+            SELECT MAX(base_color) + 1 AS ncolors,
+                   ({nv_expr} + MAX(base_color)) // (MAX(base_color) + 1) AS avg_cap
+            FROM ball
+        ),
+        {p}don AS MATERIALIZED (
+            SELECT c, n - avg_cap AS surplus,
+                   SUM(n - avg_cap) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - (n - avg_cap) AS s_prev
+            FROM {p}freq, {p}param WHERE n > avg_cap
+        ),
+        {p}tgt AS MATERIALIZED (
+            SELECT c, deficit,
+                   SUM(deficit) OVER (ORDER BY c DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - deficit AS d_prev
+            FROM (
+                SELECT g.c, (SELECT avg_cap FROM {p}param) - COALESCE(f.n, 0) AS deficit
+                FROM (SELECT UNNEST(range((SELECT ncolors FROM {p}param))) AS c) g
+                LEFT JOIN {p}freq f ON f.c = g.c
+                WHERE COALESCE(f.n, 0) < (SELECT avg_cap FROM {p}param)
+            )
+        ),
+        {p}rank AS MATERIALIZED (
+            SELECT b.vid, b.base_color, x.prio,
+                   ROW_NUMBER() OVER (PARTITION BY b.base_color
+                                      ORDER BY x.prio DESC) - 1 AS r
+            FROM ball b JOIN bprio x USING (vid)
+            WHERE b.base_color IN (SELECT c FROM {p}don)
+        ),
+        {p}plan AS MATERIALIZED (
+            SELECT rk.vid, rk.prio, t.c AS t
+            FROM {p}rank rk
+            JOIN {p}don d ON d.c = rk.base_color AND rk.r < d.surplus
+            JOIN {p}tgt t ON (d.s_prev + rk.r) >= t.d_prev
+                         AND (d.s_prev + rk.r) < t.d_prev + t.deficit
+        ),
+        {p}mov AS MATERIALIZED (
+            SELECT pl.vid, pl.t FROM {p}plan pl
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cnbr e JOIN ball nb ON nb.vid = e.dst
+                WHERE e.src = pl.vid AND nb.base_color = pl.t
+            )
+              AND NOT EXISTS (
+                SELECT 1 FROM cnbr e JOIN {p}plan o ON o.vid = e.dst
+                WHERE e.src = pl.vid AND o.t = pl.t AND o.prio > pl.prio
+            )
+        ),
+        {p}final AS (
+            SELECT b.vid, CAST(COALESCE(m.t, b.base_color) AS INTEGER) AS color
+            FROM ball b LEFT JOIN {p}mov m USING (vid)
+        )
+    """
+
+
+def _rbase_ctes(p: str, nv_expr: str, max_rounds: int) -> str:
+    """Prefixed WITH-body for the rBase capacity-bounded re-coloring
+    computing ``{p}final`` — twin of ``operators.coloring.rbase_coloring``
+    (ref ``bColoring/rBase.cpp:44-179``). Unrolled Jacobi rounds; the min
+    free color excludes recolored-neighbour colors AND at-capacity colors
+    via the sorted-gap trick over their union; per-color admission
+    ``avg - freq`` in descending priority; adjacent same-tentative movers
+    to the higher priority; converged rounds are no-ops."""
+    rounds = []
+    for i in range(max_rounds):
+        rounds.append(f"""
+        {p}freq{i} AS MATERIALIZED (
+            SELECT nc AS c, COUNT(*) AS n FROM {p}st{i}
+            WHERE nc IS NOT NULL GROUP BY 1
+        ),
+        {p}blk{i} AS MATERIALIZED (
+            SELECT DISTINCT e.src AS vid, s2.nc AS c
+            FROM cnbr e
+            JOIN {p}st{i} uu ON uu.vid = e.src AND uu.nc IS NULL
+            JOIN {p}st{i} s2 ON s2.vid = e.dst
+            WHERE s2.nc IS NOT NULL
+            UNION
+            SELECT uu.vid, f.c
+            FROM {p}st{i} uu
+            CROSS JOIN (SELECT c FROM {p}freq{i}, {p}param
+                        WHERE n >= avg_cap) f
+            WHERE uu.nc IS NULL
+        ),
+        {p}tent{i} AS MATERIALIZED (
+            SELECT u.vid, u.prio, COALESCE(mf.minfree, 0) AS t
+            FROM (SELECT vid, prio FROM {p}st{i} WHERE nc IS NULL) u
+            LEFT JOIN (
+                SELECT vid,
+                       CAST(COALESCE(MIN(CASE WHEN c <> rn THEN rn END),
+                                     COUNT(*)) AS INTEGER) AS minfree
+                FROM (
+                    SELECT vid, c,
+                           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY c) - 1 AS rn
+                    FROM {p}blk{i}
+                )
+                GROUP BY vid
+            ) mf ON mf.vid = u.vid
+        ),
+        {p}adm{i} AS MATERIALIZED (
+            SELECT vid, prio, t FROM (
+                SELECT tn.vid, tn.prio, tn.t,
+                       ROW_NUMBER() OVER (PARTITION BY tn.t
+                                          ORDER BY tn.prio DESC) AS rn,
+                       (SELECT avg_cap FROM {p}param)
+                       - COALESCE((SELECT n FROM {p}freq{i} f
+                                   WHERE f.c = tn.t), 0) AS cap
+                FROM {p}tent{i} tn
+            ) WHERE rn <= cap
+        ),
+        {p}mov{i} AS MATERIALIZED (
+            SELECT a.vid, a.t FROM {p}adm{i} a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cnbr e JOIN {p}adm{i} o ON o.vid = e.dst
+                WHERE e.src = a.vid AND o.t = a.t AND o.prio > a.prio
+            )
+        ),
+        {p}st{i + 1} AS MATERIALIZED (
+            SELECT s.vid, s.prio, s.base_color,
+                   CAST(COALESCE(s.nc, m.t) AS INTEGER) AS nc
+            FROM {p}st{i} s LEFT JOIN {p}mov{i} m ON m.vid = s.vid
+        )""")
+    round_ctes = ",".join(rounds)
+    return f"""
+        {p}param AS MATERIALIZED (
+            SELECT MAX(base_color) + 1 AS ncolors,
+                   ({nv_expr} + MAX(base_color)) // (MAX(base_color) + 1) AS avg_cap
+            FROM ball
+        ),
+        {p}st0 AS MATERIALIZED (
+            SELECT b.vid, x.prio, b.base_color, CAST(NULL AS INTEGER) AS nc
+            FROM ball b JOIN bprio x USING (vid)
+        ),
+        {round_ctes},
+        {p}final AS (
+            SELECT vid, CAST(COALESCE(nc, base_color) AS INTEGER) AS color
+            FROM {p}st{max_rounds}
+        )
+    """
+
+
+def _variant_ctes(p: str, variant: str, nv_expr: str, max_rounds: int) -> str:
+    if variant in _ROUND_VARIANTS:
+        return _balanced_variant_ctes(p, variant, nv_expr, max_rounds)
+    if variant == "bbase":
+        return _bbase_ctes(p, nv_expr)
+    if variant == "rbase":
+        return _rbase_ctes(p, nv_expr, max_rounds)
+    raise ValueError(f"unknown balanced-coloring variant: {variant}")
+
+
+def balanced_sql(edges_cte: str, all_vids_rel: str, nv_expr: str,
+                 max_rounds: int = 50, variant: str = "vbase") -> str:
+    """Balanced redistribution over the distance-1 base coloring — twin of
+    ``operators.coloring.balanced_coloring`` (Jacobi-round variants vbase
+    | cbase | wbase | mbase), ``bbase_coloring`` and ``rbase_coloring``;
+    see those docstrings for the per-variant semantics, the wbase
+    avg-capacity deviation and the mbase absolute bin constants.
+
+    Unrolled (not recursive): engine rounds are bounded by ``max_rounds``
+    and a converged round is a no-op here (no movers -> no moves -> state
+    unchanged), so the last unrolled state equals the engine's fixed
+    point for any actual round count <= max_rounds. Every per-round CTE
+    is MATERIALIZED — DuckDB inlines CTEs by default and each state is
+    referenced ~5x per round, which would otherwise expand the plan
+    exponentially.
+
+    Per Jacobi round, from the working state: freq = Σ load per current
+    color (load = 1 per vertex, or degree for wbase); movers = base class
+    oversize AND current class above avg; first-fit smallest eligible
+    color not used by any neighbour (cbase admits oversize targets);
+    per-color admission capacity avg - freq consumed by cumulative load
+    in xxhash64-priority order (≡ ROW_NUMBER in the unit-load case);
+    adjacent same-target movers resolved to the higher priority.
+    """
+    p = "bv"
+    return f"""
+        WITH RECURSIVE {edges_cte},
+        {distance1_cte('edges')},
+        {_shared_base_ctes(all_vids_rel)},
+        {_variant_ctes(p, variant, nv_expr, max_rounds)}
+        SELECT vid, color FROM {p}final
+    """
+
+
+def balanced_family_sql(edges_cte: str, all_vids_rel: str, nv_expr: str,
+                        max_rounds: int, variants: tuple) -> str:
+    """ALL balanced-coloring strategy families in ONE statement: the
+    distance-1 base coloring and the shared base CTEs are computed once,
+    each variant's redistribution chain runs under its own CTE prefix,
+    and the result is the UNION ALL tagged with a ``strategy`` column —
+    the driver-gate shape (one query, six reference strategies)."""
+    bodies = ",".join(
+        _variant_ctes(f"x{i}_", v, nv_expr, max_rounds)
+        for i, v in enumerate(variants)
+    )
+    union = "\n        UNION ALL ".join(
+        f"SELECT vid, color, '{v}' AS strategy FROM x{i}_final"
+        for i, v in enumerate(variants)
+    )
+    return f"""
+        WITH RECURSIVE {edges_cte},
+        {distance1_cte('edges')},
+        {_shared_base_ctes(all_vids_rel)},
+        {bodies}
+        {union}
     """

@@ -29,6 +29,83 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# ---------------------------------------------------------------------------
+# sweep-local memoization
+#
+# The correctness driver runs all ~73 registry queries sequentially in ONE
+# SparkSession; ~30 of them start from the same derived graph (co-purchase
+# edges or the transcript reply/tool graph). Rebuilding that graph from
+# parquet per query re-pays the self-join + symmetrize every time (~2-4 s
+# each at sf0.01 — a material slice of the driver's sweep budget).  The
+# cache materializes each derived table once per (session, sf_dir) via
+# ``localCheckpoint`` and hands every later query the same in-memory
+# blocks.  Determinism is unaffected (the builders are deterministic), and
+# at 100 TB the equivalent is writing the derived edge table once and
+# reading it from Parquet — the cache IS the local stand-in for that.
+# ---------------------------------------------------------------------------
+
+_DERIVED_CACHE: dict = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, kind: str, build):
+    key = (id(spark), sf_dir, kind)
+    hit = _DERIVED_CACHE.get(key)
+    if hit is None:
+        hit = build()
+        _DERIVED_CACHE[key] = hit
+    return hit
+
+
+def cached_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-once copurchase edge table (localCheckpoint)."""
+    return _cached(
+        spark, sf_dir, "copurchase",
+        lambda: copurchase_edges(spark, sf_dir).localCheckpoint(eager=True),
+    )
+
+
+def cached_copurchase_nv(spark: SparkSession, sf_dir: str) -> int:
+    return _cached(spark, sf_dir, "copurchase_nv",
+                   lambda: copurchase_nv(spark, sf_dir))
+
+
+def cached_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-once transcript view of the events table."""
+    return _cached(
+        spark, sf_dir, "transcripts",
+        lambda: transcripts_from_events(spark, sf_dir).localCheckpoint(eager=True),
+    )
+
+
+def cached_transcript_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """Materialized-once SYMMETRIZED transcript reply/tool graph + nv
+    (the north-rule input graph; DuckDB twin: the ``tredges`` CTE)."""
+    def build():
+        from .etl import build_edges_directed
+        from .graph import symmetrize
+
+        directed, nv = build_edges_directed(cached_transcripts(spark, sf_dir))
+        return symmetrize(directed).localCheckpoint(eager=True), nv
+
+    return _cached(spark, sf_dir, "tr_graph", build)
+
+
+def cached_transcript_graph_directed(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """Materialized-once DIRECTED transcript reply/tool graph + nv
+    (DuckDB twin: the ``directed`` CTE)."""
+    def build():
+        from .etl import build_edges_directed
+
+        directed, nv = build_edges_directed(cached_transcripts(spark, sf_dir))
+        return directed.localCheckpoint(eager=True), nv
+
+    return _cached(spark, sf_dir, "tr_graph_directed", build)
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric (src, dst, weight) co-purchase graph over parts."""
     op = (
