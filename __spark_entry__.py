@@ -850,24 +850,39 @@ def _q_coloring_maxmin(spark, sf):
     return colors
 
 
-def _q_coloring_balanced(spark, sf, variant="vbase"):
-    from grappolo_spark.operators.coloring import balanced_coloring, distance1_coloring
+BALANCED_VARIANTS = ("vbase", "cbase", "wbase", "mbase", "bbase", "rbase")
+BALANCED_GATE_ROUNDS = 12  # shared engine cap / SQL unroll depth: engine
+                           # and twin stop at the same round, so equality
+                           # holds whether or not the loop converges first
 
-    e = T.cached_copurchase_edges(spark, sf)
-    nv = T.cached_copurchase_nv(spark, sf)
-    colors, _n, _rounds = distance1_coloring(spark, e, nv)
-    out, _rounds2 = balanced_coloring(spark, e, colors, nv, variant=variant)
+
+def _q_coloring_balanced(spark, sf):
+    """ALL SIX balanced-coloring strategy families (ref C16 —
+    Coloring/vBase.cpp, bColoring/{cBase,wBase,mBase,bBase,rBase}.cpp) in
+    one parameterized query over the transcript graph: one shared
+    distance-1 base coloring (memoized, see ``_tr_coloring``), one
+    redistribution per strategy, UNION ALL tagged with a ``strategy``
+    column. Replaces the three per-variant queries whose repeated base
+    coloring dominated the sweep budget (VERDICT r3 #1b/#4)."""
+    from grappolo_spark.operators.coloring import (
+        balanced_coloring, bbase_coloring, rbase_coloring,
+    )
+
+    colors = _tr_coloring(spark, sf)
+    e, nv = T.cached_transcript_graph(spark, sf)
+    out = None
+    for variant in BALANCED_VARIANTS:
+        if variant == "bbase":
+            part, _r = bbase_coloring(spark, e, colors, nv)
+        elif variant == "rbase":
+            part, _r = rbase_coloring(spark, e, colors, nv,
+                                      max_rounds=BALANCED_GATE_ROUNDS)
+        else:
+            part, _r = balanced_coloring(spark, e, colors, nv, variant=variant,
+                                         max_rounds=BALANCED_GATE_ROUNDS)
+        part = part.select("vid", "color", F.lit(variant).alias("strategy"))
+        out = part if out is None else out.unionByName(part)
     return out
-
-
-def _q_coloring_balanced_cbase(spark, sf):
-    """cBase redistribution strategy (ref bColoring/cBase.cpp:44-140)."""
-    return _q_coloring_balanced(spark, sf, variant="cbase")
-
-
-def _q_coloring_balanced_wbase(spark, sf):
-    """wBase degree-weighted redistribution (ref bColoring/wBase.cpp:44-201)."""
-    return _q_coloring_balanced(spark, sf, variant="wbase")
 
 
 def _q_rcm(spark, sf):
@@ -1056,93 +1071,181 @@ def _q_stream_sessions(spark, sf):
         shutil.rmtree(base, ignore_errors=True)
 
 
+# Measured spark+oracle seconds per query at sf0.01 (full in-order sweep
+# of scripts/verify_queries.py, round-4 session, this registry order).
+# Costs are ORDER-DEPENDENT where queries share a memoized input (the
+# transcript graph is built by the first transcript query; the distance-1
+# coloring by color_stats) — keep cache-building entries before their
+# beneficiaries when editing. tests/test_entry_contract.py asserts the
+# registry/cost wiring and the total-budget canary against this table.
+QUERY_COSTS = {
+    "multimodal_metadata": 5.0,      # first query: pays session warm-up
+    "hash_split": 0.6,
+    "pricing_summary": 1.3,
+    "text_stats": 0.7,
+    "doc_fingerprint": 0.7,
+    "multimodal_features": 0.5,
+    "transcript_table": 1.0,
+    "token_chunks": 0.4,
+    "embed_cosine_topk": 1.3,
+    "graph_edge_table": 1.7,
+    "event_transitions": 0.5,
+    "top_orders_revenue": 0.7,
+    "multimodal_resize": 0.7,
+    "nation_revenue": 0.8,
+    "embed_centroids": 0.4,
+    "graph_degrees": 0.3,
+    "dedup_exact": 0.3,
+    "gini": 0.9,
+    "communities_renumber": 0.4,
+    "ann_ivf_topk": 1.3,
+    "graph_stats": 0.3,
+    "repetition_stats": 1.2,
+    "embed_near_dup_pairs": 1.5,
+    "coarsen": 0.7,
+    "simhash": 1.2,
+    "cluster_fscore": 1.3,
+    "documents_decontaminated": 1.6,
+    "simhash_near_pairs": 1.3,
+    "ann_lsh_topk": 1.2,
+    "ngram_jaccard_pairs": 2.6,
+    "modularity": 1.1,
+    "minhash_signatures": 1.6,
+    "vertex_following": 1.3,
+    "stream_event_rollup": 3.2,
+    "louvain_greedy_init": 1.2,
+    "connected_components": 2.7,
+    "minhash_lsh_pairs": 2.4,
+    "frame_sample": 0.4,
+    "transcript_reply_edges": 5.0,   # builds the cached transcript graph
+    "triangles_total": 2.1,
+    "contamination_hits": 1.5,
+    "transcript_context_edges": 3.3,
+    "token_count_bpe": 0.1,
+    "transcript_text_integrity": 1.3,
+    "label_propagation": 3.8,
+    "triangles_per_vertex": 3.3,
+    "dedup_near_clusters": 4.8,
+    "stream_edge_etl": 2.9,
+    "coloring_maxmin": 5.5,
+    "documents_clean": 6.5,
+    "color_stats": 4.0,              # pays the memoized distance-1 coloring
+    "graph_coloring": 0.3,           # reuses it
+    "vf_pipeline_coarse": 3.5,
+    "pagerank": 6.8,
+    "louvain_sweeps_arrow": 5.6,
+    "transcript_pagerank": 6.6,
+    "louvain_sweeps": 7.6,
+    "directed_louvain_sweeps": 7.3,
+    "stream_conversation_sessions": 7.3,
+    "directed_louvain": 7.8,
+    "personalized_pagerank": 8.0,
+    "louvain_resistance_sweeps": 8.7,
+    "edge_jaccard": 9.3,
+    "louvain_arrow": 9.1,
+    "louvain_communities": 9.7,
+    "rcm_ordering": 10.0,
+    "louvain_resistance": 14.2,
+    "sparsify_topk": 16.0,
+    "louvain_two_phase": 17.3,
+    "louvain_colored": 25.3,
+    "coloring_balanced": 26.2,
+}
+
+# documented sweep-budget target the canary holds the registry to: the
+# r3 driver cut ~120 s in; the whole 71-query registry must stay well
+# within a few multiples of that so a budget cut can at worst shave the
+# last few entries (each of which has a cheap fixed-budget sibling that
+# passed earlier), never an entire subsystem
+DRIVER_SWEEP_BUDGET_S = 320.0
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented query/operator (SURVEY §2 coverage).
 
-    ORDER = measured CHEAPEST FIRST (spark+oracle seconds at sf0.01, full
-    sweep of scripts/verify_queries.py, round-3 session): the driver's
-    correctness sweep runs this dict in order under a budget, and the
-    round-2 sweep ran out mid-registry — dropping the whole tail of
-    subsystems from CORRECTNESS_r02.json. Cheapest-first guarantees a
-    budget cut can only shave the few most expensive full-convergence
-    runs (each of which has a cheap fixed-budget twin that by then has
-    already passed), never an entire subsystem. Keep new entries placed
-    by measured cost, not by topic.
+    ORDER = measured CHEAPEST FIRST (``QUERY_COSTS``), with one
+    documented exception: queries sharing a memoized input stay behind
+    the entry that builds it (costs were measured in this order). The
+    driver's correctness sweep runs this dict in order under a budget;
+    cheapest-first guarantees a budget cut can only shave the most
+    expensive gated runs (each of which has a cheap fixed-budget twin
+    that by then has already passed), never an entire subsystem. The
+    round-4 registry totals ~250 s for all 71 queries (was ~683 s in
+    round 3 — VERDICT r3 #1), so a cut at the r3 budget now lands past
+    every subsystem's cheap gate.
     """
     return {
-        "multimodal_metadata": _q_multimodal_meta,  # 0.4s
-        "hash_split": _q_hash_split,  # 0.6s
-        "pricing_summary": _q_pricing_summary,  # 0.6s
-        "text_stats": _q_text_stats,  # 0.6s
-        "doc_fingerprint": _q_fingerprint,  # 0.6s
-        "multimodal_features": _q_multimodal_features,  # 0.7s
-        "transcript_table": _q_transcript_table,  # north-rule input  # 0.7s
-        "token_chunks": _q_token_chunks,  # 0.7s
-        "embed_cosine_topk": _q_embed_topk,  # 0.7s
-        "graph_edge_table": _q_edges,  # §2.1  # 0.7s
-        "event_transitions": _q_event_transitions,  # 0.8s
-        "top_orders_revenue": _q_top_orders,  # 0.8s
-        "multimodal_resize": _q_multimodal_resize,  # 0.9s
-        "nation_revenue": _q_nation_revenue,  # 0.9s
-        "embed_centroids": _q_embed_centroids,  # 1.0s
-        "graph_degrees": _q_degrees,  # A1/A2  # 1.1s
-        "dedup_exact": _q_dedup_exact,  # 1.2s
-        "gini": _q_brand_gini,  # A9  # 1.2s
-        "communities_renumber": _q_brand_communities,  # W1  # 1.3s
-        "ann_ivf_topk": _q_ann_ivf,  # 1.3s
-        "graph_stats": _q_graph_stats,  # A13  # 1.4s
-        "repetition_stats": _q_repetition_stats,  # 1.6s
-        "embed_near_dup_pairs": _q_embed_near_dups,  # 1.6s
-        "coarsen": _q_brand_coarsen,  # C11  # 1.7s
-        "simhash": _q_simhash,  # 1.8s
-        "cluster_fscore": _q_brand_type_fscore,  # A11/C18  # 1.8s
-        "documents_decontaminated": _q_documents_decontaminated,  # 1.8s
-        "simhash_near_pairs": _q_simhash_near_pairs,  # 1.9s
-        "ann_lsh_topk": _q_ann_lsh,  # 1.9s
-        "ngram_jaccard_pairs": _q_ngram_jaccard,  # 1.9s
-        "modularity": _q_brand_modularity,  # A6  # 2.0s
-        "minhash_signatures": _q_minhash_sigs,  # 2.1s
-        "vertex_following": _q_vertex_following,  # C17  # 2.2s
-        "stream_event_rollup": _q_stream_event_rollup,  # 2.4s
-        "louvain_greedy_init": _q_louvain_init,  # 2.4s
-        "connected_components": _q_cc,  # C20/NS2  # 2.5s
-        "minhash_lsh_pairs": _q_lsh_pairs,  # 2.7s
-        "frame_sample": _q_frame_sample,  # multimodal (§2.10)  # 2.8s
-        "transcript_reply_edges": _q_transcript_edges,  # 3.1s
-        "triangles_total": _q_triangles_total,  # NS4  # 3.3s
-        "contamination_hits": _q_contamination_hits,  # 3.6s
-        "transcript_context_edges": _q_transcript_context_edges,  # 3.7s
-        "token_count_bpe": _q_token_count_bpe,  # 4.0s
-        "transcript_text_integrity": _q_transcript_text_integrity,  # 4.0s
-        "label_propagation": _q_labelprop,  # NS3  # 4.3s
-        "triangles_per_vertex": _q_triangles_pv,  # 4.4s
-        "dedup_near_clusters": _q_dedup_near_clusters,  # 4.6s
-        "stream_edge_etl": _q_stream_edge_etl,  # streaming (§2.9)  # 4.9s
-        "coloring_maxmin": _q_coloring_maxmin,  # C15  # 5.2s
-        "documents_clean": _q_documents_clean,  # 5.2s
-        "pagerank": _q_pagerank,  # NS1  # 6.1s
-        "vf_pipeline_coarse": _q_vf_pipeline,  # 6.7s
-        "louvain_sweeps": _q_louvain_sweeps,  # C1-C4 fixed-budget  # 6.7s
-        "louvain_sweeps_arrow": _q_louvain_sweeps_arrow,  # C2 fixed-budget  # 7.0s
-        "directed_louvain_sweeps": _q_directed_louvain_sweeps,  # C8  # 7.3s
-        "stream_conversation_sessions": _q_stream_sessions,  # 7.4s
-        "louvain_resistance_sweeps": _q_louvain_resistance_sweeps,  # C9  # 7.8s
-        "transcript_pagerank": _q_transcript_pagerank,  # 8.2s
-        "rcm_ordering": _q_rcm,  # W4/C21  # 8.4s
-        "edge_jaccard": _q_jaccard,  # C19  # 8.6s
-        "personalized_pagerank": _q_personalized_pagerank,  # 9.0s
-        "sparsify_topk": _q_sparsify,  # T3  # 10.9s
-        "louvain_two_phase": _q_louvain_two_phase,  # C10  # 16.6s
-        "color_stats": _q_color_stats,  # A12  # 24.1s
-        "graph_coloring": _q_coloring,  # C14  # 26.9s
-        "louvain_communities": _q_louvain,  # C1-C11 full  # 27.3s
-        "louvain_arrow": _q_louvain_arrow,  # 27.6s
-        "coloring_balanced_cbase": _q_coloring_balanced_cbase,  # C16 (cBase)  # 30.7s
-        "coloring_balanced_wbase": _q_coloring_balanced_wbase,  # C16 (wBase)  # 35.0s
-        "coloring_balanced": _q_coloring_balanced,  # C16 (vBase)  # 35.3s
-        "louvain_resistance": _q_louvain_resistance,  # C9 full  # 39.2s
-        "directed_louvain": _q_directed_louvain,  # C8 full  # 99.4s
-        "louvain_colored": _q_louvain_colored,  # C6/C12 full  # 123.0s
+        "multimodal_metadata": _q_multimodal_meta,
+        "hash_split": _q_hash_split,
+        "pricing_summary": _q_pricing_summary,
+        "text_stats": _q_text_stats,
+        "doc_fingerprint": _q_fingerprint,
+        "multimodal_features": _q_multimodal_features,
+        "transcript_table": _q_transcript_table,  # north-rule input
+        "token_chunks": _q_token_chunks,
+        "embed_cosine_topk": _q_embed_topk,
+        "graph_edge_table": _q_edges,  # §2.1
+        "event_transitions": _q_event_transitions,
+        "top_orders_revenue": _q_top_orders,
+        "multimodal_resize": _q_multimodal_resize,
+        "nation_revenue": _q_nation_revenue,
+        "embed_centroids": _q_embed_centroids,
+        "graph_degrees": _q_degrees,  # A1/A2
+        "dedup_exact": _q_dedup_exact,
+        "gini": _q_brand_gini,  # A9
+        "communities_renumber": _q_brand_communities,  # W1
+        "ann_ivf_topk": _q_ann_ivf,
+        "graph_stats": _q_graph_stats,  # A13
+        "repetition_stats": _q_repetition_stats,
+        "embed_near_dup_pairs": _q_embed_near_dups,
+        "coarsen": _q_brand_coarsen,  # C11
+        "simhash": _q_simhash,
+        "cluster_fscore": _q_brand_type_fscore,  # A11/C18
+        "documents_decontaminated": _q_documents_decontaminated,
+        "simhash_near_pairs": _q_simhash_near_pairs,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "modularity": _q_brand_modularity,  # A6
+        "minhash_signatures": _q_minhash_sigs,
+        "vertex_following": _q_vertex_following,  # C17
+        "stream_event_rollup": _q_stream_event_rollup,
+        "louvain_greedy_init": _q_louvain_init,
+        "connected_components": _q_cc,  # C20/NS2
+        "minhash_lsh_pairs": _q_lsh_pairs,
+        "frame_sample": _q_frame_sample,  # multimodal (§2.10)
+        "transcript_reply_edges": _q_transcript_edges,
+        "triangles_total": _q_triangles_total,  # NS4
+        "contamination_hits": _q_contamination_hits,
+        "transcript_context_edges": _q_transcript_context_edges,
+        "token_count_bpe": _q_token_count_bpe,
+        "transcript_text_integrity": _q_transcript_text_integrity,
+        "label_propagation": _q_labelprop,  # NS3
+        "triangles_per_vertex": _q_triangles_pv,
+        "dedup_near_clusters": _q_dedup_near_clusters,
+        "stream_edge_etl": _q_stream_edge_etl,  # streaming (§2.9)
+        "coloring_maxmin": _q_coloring_maxmin,  # C15
+        "documents_clean": _q_documents_clean,
+        "color_stats": _q_color_stats,  # A12 (pays the memoized coloring)
+        "graph_coloring": _q_coloring,  # C14 (reuses it)
+        "vf_pipeline_coarse": _q_vf_pipeline,
+        "pagerank": _q_pagerank,  # NS1
+        "louvain_sweeps_arrow": _q_louvain_sweeps_arrow,  # C2 fixed-budget
+        "transcript_pagerank": _q_transcript_pagerank,
+        "louvain_sweeps": _q_louvain_sweeps,  # C1-C4 fixed-budget
+        "directed_louvain_sweeps": _q_directed_louvain_sweeps,  # C8
+        "stream_conversation_sessions": _q_stream_sessions,
+        "directed_louvain": _q_directed_louvain,  # C8 gate-depth
+        "personalized_pagerank": _q_personalized_pagerank,
+        "louvain_resistance_sweeps": _q_louvain_resistance_sweeps,  # C9
+        "edge_jaccard": _q_jaccard,  # C19
+        "louvain_arrow": _q_louvain_arrow,  # C2 gate-depth
+        "louvain_communities": _q_louvain,  # C1-C11 gate-depth
+        "rcm_ordering": _q_rcm,  # W4/C21
+        "louvain_resistance": _q_louvain_resistance,  # C9 gate-depth
+        "sparsify_topk": _q_sparsify,  # T3
+        "louvain_two_phase": _q_louvain_two_phase,  # C10
+        "louvain_colored": _q_louvain_colored,  # C6/C12 gate-depth
+        "coloring_balanced": _q_coloring_balanced,  # C16 (all 6 strategies)
     }
 
 
@@ -1923,7 +2026,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     from grappolo_spark.oracle.coloring_sql import (
-        balanced_sql, color_stats_sql, distance1_sql, maxmin_sql,
+        balanced_family_sql, color_stats_sql, distance1_sql, maxmin_sql,
     )
 
     _PART_VIDS = "(SELECT p_partkey AS vid FROM part)"
@@ -1937,14 +2040,14 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_coloring"] = distance1_sql(_TR_EDGES, _TR_VIDS)
     sql["color_stats"] = color_stats_sql(_TR_EDGES, _TR_VIDS)
     sql["coloring_maxmin"] = maxmin_sql(_EDGES, _PART_VIDS)
-    # engine bound is max_rounds=50 but redistribution converges in ~6
-    # rounds at sf0.01 (converged rounds are no-ops); 16 unrolled rounds
-    # keeps the DuckDB plan compact with >2x margin
-    sql["coloring_balanced"] = balanced_sql(_EDGES, _PART_VIDS, _NV, max_rounds=16)
-    sql["coloring_balanced_cbase"] = balanced_sql(
-        _EDGES, _PART_VIDS, _NV, max_rounds=16, variant="cbase")
-    sql["coloring_balanced_wbase"] = balanced_sql(
-        _EDGES, _PART_VIDS, _NV, max_rounds=16, variant="wbase")
+    # all six strategy families in one statement sharing the distance-1
+    # base coloring; engine cap == unroll depth so both sides stop at the
+    # same round whether or not the loop converges first
+    _TR_NV = ("((SELECT COUNT(*) FROM turns)"
+              " + (SELECT COUNT(*) FROM tools))")
+    sql["coloring_balanced"] = balanced_family_sql(
+        _TR_EDGES, _TR_VIDS, _TR_NV,
+        max_rounds=BALANCED_GATE_ROUNDS, variants=BALANCED_VARIANTS)
 
     sql["event_transitions"] = """
         WITH seq AS (

@@ -37,8 +37,25 @@ def assign_dense_ids(
     Scalable dense-rank: range-partition by key, rank within partitions,
     then add broadcast per-partition offsets — no single-partition global
     window, so this survives a 100x scale-up. Deterministic: ids follow the
-    total order of ``key_cols``.
+    total order of ``key_cols``. Use ``assign_dense_ids_with_count`` when
+    the caller also needs N (already known from the offset pass — no extra
+    count job).
     """
+    out, _n = assign_dense_ids_with_count(
+        df, key_cols, id_col=id_col, start=start, num_partitions=num_partitions
+    )
+    return out
+
+
+def assign_dense_ids_with_count(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str = "vid",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """``assign_dense_ids`` returning ``(ids, N)`` explicitly — the total
+    falls out of the per-partition offset pass for free."""
     distinct = df.select(*key_cols).distinct()
     nparts = num_partitions or distinct.sparkSession.sparkContext.defaultParallelism
     parted = distinct.repartitionByRange(nparts, *key_cols).withColumn(
@@ -64,10 +81,7 @@ def assign_dense_ids(
         .join(offsets_df, "_pid")
         .select(*key_cols, (F.col("_rn") + F.col("_offset")).alias(id_col))
     )
-    # the per-partition counts already told us the total — stash it so
-    # callers (renumber) don't need an extra count() job
-    out._dense_id_count = acc - start
-    return out
+    return out, acc - start
 
 
 # ---------------------------------------------------------------------------

@@ -32,7 +32,7 @@ Oracle twin: ``oracle.coloring_np.distance1_coloring_np``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..lineage import cut_lineage
@@ -70,10 +70,14 @@ def _distance1_impl(spark, nbr, nv, max_rounds):
     state = verts.select(
         "vid", F.lit(None).cast("int").alias("color"), _prio(F.col("vid")).alias("prio")
     ).transform(cut_lineage)
+    # the uncolored count rides each round's state checkpoint as an
+    # observed metric, so a round costs ONE action (no standalone count
+    # job) — at a 1000-executor scale every extra action is a full
+    # scheduler round-trip per coloring round
+    remaining = state.filter(F.col("color").isNull()).count()
 
     rounds = 0
     while True:
-        remaining = state.filter(F.col("color").isNull()).count()
         if remaining == 0 or rounds >= max_rounds:
             break
         rounds += 1
@@ -124,6 +128,7 @@ def _distance1_impl(spark, nbr, nv, max_rounds):
             .filter(F.col("mx").isNull() | (F.col("p_src") > F.col("mx")))
             .select(F.col("src").alias("vid"), F.col("t").alias("new_color"))
         )
+        obs = Observation()
         state = (
             state.join(assigned, "vid", "left")
             .select(
@@ -131,8 +136,10 @@ def _distance1_impl(spark, nbr, nv, max_rounds):
                 F.coalesce("color", F.col("new_color").cast("int")).alias("color"),
                 "prio",
             )
+            .observe(obs, F.sum(F.col("color").isNull().cast("long")).alias("unc"))
             .transform(cut_lineage)
         )
+        remaining = int(obs.get["unc"] or 0)
 
     all_v = spark.range(nv).select(F.col("id").alias("vid"))
     colors = all_v.join(state.select("vid", "color"), "vid", "left").select(
@@ -377,22 +384,33 @@ def balanced_coloring(
         return colors.select("vid", "color"), 0
 
     rounds = 0
+    over_set = [int(c) for c in oversize]
     while rounds < max_rounds:
-        freq = {
-            int(r["color"]): int(r["n"])
-            for r in state.groupBy("color").agg(load).collect()
-        }
+        # ONE driver collect per round carries the color loads AND the
+        # movers-exist flag (load of base-oversize members per color) —
+        # no standalone movers-probe job
+        fr = state.groupBy("color").agg(
+            load,
+            F.sum(
+                F.when(F.col("base_color").isin(over_set), F.col("w"))
+                .otherwise(F.lit(0))
+            ).alias("n_over"),
+        ).collect()
+        freq = {int(r["color"]): int(r["n"]) for r in fr}
+        has_movers = any(
+            int(r["n"]) > avg and int(r["n_over"] or 0) > 0 for r in fr
+        )
         eligible = sorted(
             c for c in range(ncolors)
             if freq.get(c, 0) < avg and (variant == "cbase" or c not in oversize)
         )
-        movers = state.filter(
-            F.col("base_color").isin([int(c) for c in oversize])
-            & F.col("color").isin([int(c) for c in freq if freq[c] > avg])
-        )
-        if not eligible or movers.limit(1).count() == 0:
+        if not eligible or not has_movers:
             break
         rounds += 1
+        movers = state.filter(
+            F.col("base_color").isin(over_set)
+            & F.col("color").isin([int(c) for c in freq if freq[c] > avg])
+        )
 
         # candidate (mover, target) pairs minus colors used by neighbours
         cand = movers.select(
@@ -447,10 +465,12 @@ def balanced_coloring(
             .distinct()
         )
         moves = admitted.join(losers, "vid", "left_anti").select("vid", F.col("t"))
-        if moves.limit(1).count() == 0:
-            break
+        # the applied-move count rides the state checkpoint (one action
+        # per round); numpy twin breaks on zero moves the same way
+        obs = Observation()
         state = (
             state.join(moves, "vid", "left")
+            .observe(obs, F.sum(F.col("t").isNotNull().cast("long")).alias("n_moved"))
             .select(
                 "vid",
                 F.coalesce(F.col("t"), F.col("color")).cast("int").alias("color"),
@@ -458,6 +478,8 @@ def balanced_coloring(
             )
             .transform(cut_lineage)
         )
+        if int(obs.get["n_moved"] or 0) == 0:
+            break
 
     return state.select("vid", "color"), rounds
 
@@ -619,12 +641,14 @@ def rbase_coloring(
     ).transform(cut_lineage)
     rounds = 0
     while rounds < max_rounds:
+        # ONE collect per round: the NULL group is the uncolored count,
+        # the rest are the per-color capacities
+        fr = state.groupBy("new_color").agg(F.count("*").alias("n")).collect()
         freq = {
             int(r["new_color"]): int(r["n"])
-            for r in state.filter(F.col("new_color").isNotNull())
-            .groupBy("new_color").agg(F.count("*").alias("n")).collect()
+            for r in fr if r["new_color"] is not None
         }
-        remaining = state.filter(F.col("new_color").isNull()).limit(1).count()
+        remaining = sum(int(r["n"]) for r in fr if r["new_color"] is None)
         if remaining == 0:
             break
         rounds += 1

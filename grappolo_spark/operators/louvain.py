@@ -46,7 +46,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..graph import assign_dense_ids
+from ..graph import assign_dense_ids_with_count
 from ..lineage import cut_lineage, pin_partitioned, release
 from ..session import scaled_shuffle_partitions
 
@@ -82,12 +82,16 @@ def renumber(c: DataFrame) -> tuple[DataFrame, int]:
     # so the scalable two-pass range-partitioned rank over first_vid equals
     # the dense_rank of the old global window — same total order, no
     # single-partition Exchange even when |communities| ~ |V| after phase 1
-    ids = assign_dense_ids(firsts, ["first_vid"], id_col="new_comm")
-    num_clusters = ids._dense_id_count
+    ids, num_clusters = assign_dense_ids_with_count(
+        firsts, ["first_vid"], id_col="new_comm"
+    )
     mapping = firsts.join(ids, "first_vid").select("comm", "new_comm")
-    # broadcast the mapping only while it actually fits; past that, fall
-    # back to a shuffled join (AQE may still promote it at runtime)
-    if num_clusters <= 20_000_000:
+    # broadcast the mapping only while it genuinely fits executor + driver
+    # memory: 4M (comm, new_comm) rows ≈ 64 MB on the driver — past that,
+    # fall back to a shuffled join (AQE may still promote it at runtime).
+    # The old 20M ceiling meant ~300 MB collected on the driver and
+    # replicated per executor, an OOM risk on mid-size clusters (r3 ADVICE).
+    if num_clusters <= 4_000_000:
         mapping = F.broadcast(mapping)
     out = (
         c.join(mapping, "comm", "left")

@@ -281,6 +281,7 @@ def _balanced_variant_ctes(p: str, variant: str, nv_expr: str,
         # python -(-a//b) idiom would floor here — use (a+b-1)//b.
         # mbase clamps avg to the reference's absolute bin capacity
         # (mBase.cpp:95-96).
+        load_expr = "CAST(1 AS BIGINT)"
         avg_raw = f"({nv_expr} + MAX(base_color)) // (MAX(base_color) + 1)"
         avg_expr = (
             f"CASE WHEN {avg_raw} > {bucket_cap + 64} THEN {bucket_cap} "
@@ -399,17 +400,24 @@ def _rbase_ctes(p: str, nv_expr: str, max_rounds: int) -> str:
             WHERE nc IS NOT NULL GROUP BY 1
         ),
         {p}blk{i} AS MATERIALIZED (
-            SELECT DISTINCT e.src AS vid, s2.nc AS c
-            FROM cnbr e
-            JOIN {p}st{i} uu ON uu.vid = e.src AND uu.nc IS NULL
-            JOIN {p}st{i} s2 ON s2.vid = e.dst
-            WHERE s2.nc IS NOT NULL
-            UNION
-            SELECT uu.vid, f.c
-            FROM {p}st{i} uu
-            CROSS JOIN (SELECT c FROM {p}freq{i}, {p}param
-                        WHERE n >= avg_cap) f
-            WHERE uu.nc IS NULL
+            -- blocked colors = recolored-neighbour colors ∪ at-capacity
+            -- colors; outer DISTINCT (not bare UNION) because inside a
+            -- WITH RECURSIVE statement DuckDB does not reliably dedup a
+            -- UNION-shaped CTE body (observed: identical INTEGER rows
+            -- surviving), and duplicates break the sorted-gap trick
+            SELECT DISTINCT vid, c FROM (
+                SELECT e.src AS vid, s2.nc AS c
+                FROM cnbr e
+                JOIN {p}st{i} uu ON uu.vid = e.src AND uu.nc IS NULL
+                JOIN {p}st{i} s2 ON s2.vid = e.dst
+                WHERE s2.nc IS NOT NULL
+                UNION ALL
+                SELECT uu.vid, f.c
+                FROM {p}st{i} uu
+                CROSS JOIN (SELECT c FROM {p}freq{i}, {p}param
+                            WHERE n >= avg_cap) f
+                WHERE uu.nc IS NULL
+            )
         ),
         {p}tent{i} AS MATERIALIZED (
             SELECT u.vid, u.prio, COALESCE(mf.minfree, 0) AS t

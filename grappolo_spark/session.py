@@ -90,6 +90,11 @@ def get_spark(
 from contextlib import contextmanager  # noqa: E402
 
 
+# sessions (by id) currently inside a scaled_shuffle_partitions scope —
+# see the nesting note in the contextmanager below
+_SCALED_ACTIVE: dict[int, int] = {}
+
+
 @contextmanager
 def scaled_shuffle_partitions(spark: SparkSession, n_rows: int,
                               rows_per_partition: int = 100_000):
@@ -105,16 +110,36 @@ def scaled_shuffle_partitions(spark: SparkSession, n_rows: int,
     by construction — pytest gates this against the oracles), only stage
     granularity. On a large graph (n_rows / rows_per_partition >= the
     session setting) this is a no-op, so the 100 TB path is untouched.
+
+    The override mutates the SESSION-scoped SQLConf, so it is visible to
+    anything else planning on the same SparkSession during the scope — a
+    planning-granularity hazard, never a correctness one (r3 ADVICE).
+    Nested scopes (an operator composing another operator) are no-ops:
+    the OUTER clamp wins and the exit restores exactly once, so restore
+    can no longer be last-writer-wins. Concurrent drivers on one session
+    should pass distinct sessions (``spark.newSession()`` shares the
+    context but isolates the conf).
     """
     rows_per_partition = int(os.environ.get(
         "SPARK_GRAFT_ROWS_PER_PART", str(rows_per_partition)))
+    key = id(spark)
+    if _SCALED_ACTIVE.get(key):
+        # nested scope: keep the outer clamp
+        _SCALED_ACTIVE[key] += 1
+        try:
+            yield int(spark.conf.get("spark.sql.shuffle.partitions"))
+        finally:
+            _SCALED_ACTIVE[key] -= 1
+        return
     prev = int(spark.conf.get("spark.sql.shuffle.partitions"))
     target = max(4, min(prev, -(-int(n_rows) // rows_per_partition)))
     if target == prev:
         yield prev
         return
+    _SCALED_ACTIVE[key] = 1
     spark.conf.set("spark.sql.shuffle.partitions", str(target))
     try:
         yield target
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(prev))
+        _SCALED_ACTIVE.pop(key, None)

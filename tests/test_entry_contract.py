@@ -41,6 +41,36 @@ def test_every_oracle_has_a_query():
     assert o <= q, f"oracles without queries: {sorted(o - q)}"
 
 
+def test_registry_cost_canary():
+    """Driver-budget canary (VERDICT r3 #7): every registered query has a
+    measured cost, the registry total stays inside the documented sweep
+    budget, and the ordering is coarse cheapest-first — so a future
+    insertion that pushes a never-gated subsystem past the driver's
+    budget cut fails HERE, not silently in the next round's
+    CORRECTNESS file."""
+    q = list(entry.queries())
+    costs = entry.QUERY_COSTS
+    missing = [n for n in q if n not in costs]
+    stale = [n for n in costs if n not in q]
+    assert not missing, f"queries without a measured cost: {missing}"
+    assert not stale, f"costs for unregistered queries: {stale}"
+    total = sum(costs.values())
+    assert total <= entry.DRIVER_SWEEP_BUDGET_S, (
+        f"registry sweep total {total:.0f}s exceeds the documented "
+        f"budget {entry.DRIVER_SWEEP_BUDGET_S:.0f}s — re-measure with "
+        "scripts/verify_queries.py and either cheapen the new entry or "
+        "raise the documented budget deliberately"
+    )
+    # coarse cheapest-first: nothing >3x-median-expensive may sit in the
+    # first half (cache-dependency placements make strict sort wrong)
+    half = q[: len(q) // 2]
+    med = sorted(costs.values())[len(costs) // 2]
+    early_heavy = [n for n in half if costs[n] > max(10.0, 3 * med)]
+    assert not early_heavy, (
+        f"expensive queries placed in the first half: {early_heavy}"
+    )
+
+
 def test_every_query_has_an_oracle_or_is_allowlisted():
     q, o = set(entry.queries()), set(entry.oracle_sql())
     missing = q - o - ROWS_ONLY

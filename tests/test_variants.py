@@ -233,6 +233,75 @@ def test_balanced_coloring_variants_match_oracle(spark, name, strategy, variant)
     assert validate_coloring(df, got) == 0
 
 
+@pytest.mark.parametrize("name", ["karate", "star_hub", "grid3d"])
+def test_balanced_coloring_mbase_matches_oracle(spark, name):
+    """mBase absolute-bin redistribution vs its numpy twin (ref
+    bColoring/mBase.cpp:44-213). The reference constants (1024/1088) are
+    GPU bin sizes — vacuous at fixture nv — so the test exercises the
+    clamp/threshold machinery at fixture-sized settings."""
+    from grappolo_spark.oracle.coloring_np import balanced_coloring_np as bal_np
+
+    edges, nv = fx.ALL_FIXTURES[name]()
+    rows = fx.symmetric_rows(edges)
+    df = fx.to_spark_edges(spark, edges)
+    colors_np, ncolors, _ = distance1_coloring_np(rows, nv)
+    colors_df, _, _ = distance1_coloring(spark, df, nv)
+    for cap, thresh in ((4, 5), (2, 3), (1024, 1088)):
+        exp, exp_rounds = bal_np(rows, nv, colors_np, variant="mbase",
+                                 bucket_cap=cap, oversize_thresh=thresh)
+        got, rounds = balanced_coloring(
+            spark, df, colors_df, nv, variant="mbase",
+            bucket_cap=cap, oversize_thresh=thresh)
+        assert _collect(got, "color", nv) == exp, (name, cap, thresh)
+        assert rounds == exp_rounds
+        assert validate_coloring(df, got) == 0
+
+
+@pytest.mark.parametrize("name", ["karate", "star_hub", "grid3d"])
+def test_bbase_coloring_matches_oracle(spark, name):
+    """bBase one-shot batch redistribution vs its numpy twin (ref
+    bColoring/bBase.cpp:44-146)."""
+    from grappolo_spark.operators.coloring import bbase_coloring
+    from grappolo_spark.oracle.coloring_np import bbase_coloring_np
+
+    edges, nv = fx.ALL_FIXTURES[name]()
+    rows = fx.symmetric_rows(edges)
+    df = fx.to_spark_edges(spark, edges)
+    colors_np, _, _ = distance1_coloring_np(rows, nv)
+    colors_df, _, _ = distance1_coloring(spark, df, nv)
+    exp, exp_rounds = bbase_coloring_np(rows, nv, colors_np)
+    got, rounds = bbase_coloring(spark, df, colors_df, nv)
+    assert _collect(got, "color", nv) == exp, name
+    assert rounds == exp_rounds
+    assert validate_coloring(df, got) == 0
+
+
+@pytest.mark.parametrize("name", ["karate", "star_hub", "grid3d"])
+def test_rbase_coloring_matches_oracle(spark, name):
+    """rBase capacity-bounded re-coloring vs its numpy twin (ref
+    bColoring/rBase.cpp:44-179): complete recolor, proper coloring,
+    every class at or under capacity ceil(nv/ncolors) of the BASE
+    palette (the palette itself may grow, like the reference's
+    MaxDegree-bounded scan)."""
+    from grappolo_spark.operators.coloring import rbase_coloring
+    from grappolo_spark.oracle.coloring_np import rbase_coloring_np
+
+    edges, nv = fx.ALL_FIXTURES[name]()
+    rows = fx.symmetric_rows(edges)
+    df = fx.to_spark_edges(spark, edges)
+    colors_np, ncolors, _ = distance1_coloring_np(rows, nv)
+    colors_df, _, _ = distance1_coloring(spark, df, nv)
+    exp, exp_rounds = rbase_coloring_np(rows, nv, colors_np)
+    got, rounds = rbase_coloring(spark, df, colors_df, nv)
+    assert _collect(got, "color", nv) == exp, name
+    assert rounds == exp_rounds
+    assert validate_coloring(df, got) == 0
+    from collections import Counter
+    sizes = Counter(exp)
+    avg = -(-nv // ncolors)
+    assert max(sizes.values()) <= avg
+
+
 def test_balanced_coloring_wbase_balances_degree_load(spark):
     """wBase balances Σ degree per class: on karate the distance-1
     coloring piles the high-degree vertices into the early classes, and
