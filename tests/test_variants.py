@@ -370,6 +370,77 @@ def test_rcm_matches_oracle(spark, name):
     assert sorted(got.values()) == list(range(nv))
 
 
+@pytest.mark.parametrize("name", ["karate", "grid3d", "two_cliques_bridge",
+                                  "path_n"])
+def test_rcm_level_structure_invariant_under_within_level_order(name):
+    """Hardening for the documented scheduling-dependence claim (VERDICT
+    r3 #8): the reference's WITHIN-level placement is racy
+    (``reverseCuthillMcKee.cpp:151-157`` atomic fetch-add,
+    ``:289-331`` unstable heap), so the engine pins one clean total
+    order (degree asc, vid asc). This test recomputes the ordering with
+    the OPPOSITE vid tie-break inside each (level, degree) group — a
+    different member of the same scheduling-dependent family — and
+    asserts what is genuinely order-invariant: the BFS LEVEL SETS (a
+    vertex's level is its distance from the pinned source, independent
+    of placement order) and therefore the structural bandwidth envelope
+    max(width_l + width_{l+1} - 1) that bounds EVERY member of the
+    family; both variants' achieved bandwidths must sit inside it. The
+    exact bandwidth is NOT invariant (karate: tie-breaks shift it), which
+    is precisely why the survey documents the reference's output as
+    scheduling-dependent rather than claiming bit parity."""
+    edges, nv = fx.ALL_FIXTURES[name]()
+    rows = fx.symmetric_rows(edges)
+
+    def rcm_run(vid_desc: bool):
+        nbrs = [[] for _ in range(nv)]
+        deg = [0] * nv
+        for s, d, _ in rows:
+            deg[s] += 1
+            if s != d:
+                nbrs[s].append(d)
+        seen = [False] * nv
+        order = []
+        levels = {}
+        # components by min-(degree, vid) source, like the engine
+        live = sorted((deg[v], v) for v in range(nv) if deg[v] > 0)
+        for _, src in live:
+            if seen[src]:
+                continue
+            seen[src] = True
+            levels[src] = 0
+            frontier = [src]
+            order.append(src)
+            lvl = 0
+            while frontier:
+                lvl += 1
+                nxt = sorted(
+                    {j for v in frontier for j in nbrs[v] if not seen[j]},
+                    key=lambda j: (deg[j], -j if vid_desc else j),
+                )
+                for j in nxt:
+                    seen[j] = True
+                    levels[j] = lvl
+                order.extend(nxt)
+                frontier = nxt
+        pos = {v: i for i, v in enumerate(order)}
+        bw = max(
+            (abs(pos[s] - pos[d]) for s, d, _ in rows
+             if s != d and s in pos and d in pos),
+            default=0,
+        )
+        return levels, bw
+
+    lv_a, bw_a = rcm_run(False)
+    lv_b, bw_b = rcm_run(True)
+    assert lv_a == lv_b, name  # level sets are order-invariant
+    from collections import Counter
+    widths = Counter(lv_a.values())
+    bound = max(
+        (widths[l] + widths.get(l + 1, 0) - 1 for l in widths), default=0
+    )
+    assert bw_a <= bound and bw_b <= bound, (name, bw_a, bw_b, bound)
+
+
 def test_rcm_reduces_bandwidth(spark):
     """On the path graph with shuffled ids, RCM must restore a low
     bandwidth (|new(u)-new(v)| small for every edge)."""
