@@ -622,6 +622,17 @@ def _q_color_stats(spark, sf):
     )
 
 
+def _q_coloring_lu(spark, sf):
+    """Least-used initial coloring (ref ``bColoring/initialColoringLU.cpp``
+    ``initColoringLU``) over the transcript graph — the ``pick`` variant
+    of the distance-1 superstep (see ``distance1_coloring``)."""
+    from grappolo_spark.operators.coloring import distance1_coloring
+
+    e, nv = T.cached_transcript_graph(spark, sf)
+    colors, _n, _rounds = distance1_coloring(spark, e, nv, pick="least_used")
+    return colors
+
+
 COLORED_MIN_GRAPH_SIZE = 5000  # shared with the DuckDB twin's replay
 
 
@@ -1131,6 +1142,7 @@ QUERY_COSTS = {
     "documents_clean": 6.5,
     "color_stats": 4.0,              # pays the memoized distance-1 coloring
     "graph_coloring": 0.3,           # reuses it
+    "graph_coloring_lu": 8.0,        # LU pick variant, own round loop
     "vf_pipeline_coarse": 3.5,
     "pagerank": 6.8,
     "louvain_sweeps_arrow": 5.6,
@@ -1227,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_clean": _q_documents_clean,
         "color_stats": _q_color_stats,  # A12 (pays the memoized coloring)
         "graph_coloring": _q_coloring,  # C14 (reuses it)
+        "graph_coloring_lu": _q_coloring_lu,  # initColoringLU pick variant
         "vf_pipeline_coarse": _q_vf_pipeline,
         "pagerank": _q_pagerank,  # NS1
         "louvain_sweeps_arrow": _q_louvain_sweeps_arrow,  # C2 fixed-budget
@@ -2038,6 +2051,9 @@ def oracle_sql() -> dict[str, str]:
     )
     _TR_VIDS = "(SELECT vid FROM turns UNION ALL SELECT vid FROM tools)"
     sql["graph_coloring"] = distance1_sql(_TR_EDGES, _TR_VIDS)
+    from grappolo_spark.oracle.coloring_sql import distance1_lu_sql
+
+    sql["graph_coloring_lu"] = distance1_lu_sql(_TR_EDGES, _TR_VIDS)
     sql["color_stats"] = color_stats_sql(_TR_EDGES, _TR_VIDS)
     sql["coloring_maxmin"] = maxmin_sql(_EDGES, _PART_VIDS)
     # all six strategy families in one statement sharing the distance-1

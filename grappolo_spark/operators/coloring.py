@@ -49,11 +49,29 @@ def distance1_coloring(
     edges: DataFrame,
     nv: int,
     max_rounds: int = 200,
+    pick: str = "first_fit",
 ) -> tuple[DataFrame, int, int]:
     """Color all nv vertices; returns ((vid, color), num_colors, rounds).
 
     Vertices with no incident edges get color 0.
+
+    ``pick`` selects the tentative-color rule:
+
+    * ``first_fit`` (default) — smallest color absent from the colored
+      neighbourhood (ref ``coloringDistanceOne.cpp:137-150``);
+    * ``least_used`` — the ref ``initColoringLU`` scheme
+      (``bColoring/initialColoringLU.cpp:44-183``): argmin (freq, c)
+      over the already-used palette minus the neighbourhood, falling
+      back to the first never-used color when every used color is
+      blocked (``:113-123``). freq is the round-start assignment
+      histogram (the reference's racy atomic freq made Jacobi), collected
+      once per round on the driver — O(n_colors) rows, bounded by max
+      degree + 1 at any scale. Conflict resolution is the same
+      bijective-priority rule either way. Oracle twin:
+      ``oracle.coloring_np.distance1_coloring_lu_np``.
     """
+    if pick not in ("first_fit", "least_used"):
+        raise ValueError(f"unknown pick rule: {pick}")
     nbr = (
         edges.filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
@@ -62,10 +80,10 @@ def distance1_coloring(
     # stage granularity clamped to the graph for the round loop
     # (session.scaled_shuffle_partitions; results partition-invariant)
     with scaled_shuffle_partitions(spark, nbr.count()):
-        return _distance1_impl(spark, nbr, nv, max_rounds)
+        return _distance1_impl(spark, nbr, nv, max_rounds, pick)
 
 
-def _distance1_impl(spark, nbr, nv, max_rounds):
+def _distance1_impl(spark, nbr, nv, max_rounds, pick="first_fit"):
     verts = nbr.select(F.col("src").alias("vid")).distinct()
     state = verts.select(
         "vid", F.lit(None).cast("int").alias("color"), _prio(F.col("vid")).alias("prio")
@@ -91,25 +109,56 @@ def _distance1_impl(spark, nbr, nv, max_rounds):
             ),
             "dst",
         )
-        # tentative color: smallest not used by COLORED neighbours
-        # (min free <= colored-degree, so sequence(0, n_colored) covers it)
-        counts = nb.groupBy("src", "p_src").agg(
-            F.count(F.when(F.col("nb_color").isNotNull(), 1)).alias("n_colored")
-        )
-        cand_colors = counts.select(
-            "src", "p_src",
-            F.explode(F.sequence(F.lit(0), F.col("n_colored"))).alias("t"),
-        )
         used = (
             nb.filter(F.col("nb_color").isNotNull())
             .select("src", F.col("nb_color").alias("t"))
             .distinct()
         )
-        tent = (
-            cand_colors.join(used, ["src", "t"], "left_anti")
-            .groupBy("src", "p_src")
-            .agg(F.min("t").alias("t"))
-        )
+        if pick == "least_used":
+            # ref initColoringLU: argmin (freq, c) over the round-start
+            # palette minus the neighbourhood; first never-used color when
+            # every used color is blocked. The palette histogram is one
+            # O(n_colors) driver collect per round.
+            freq = {
+                int(r["color"]): int(r["n"])
+                for r in state.filter(F.col("color").isNotNull())
+                .groupBy("color").agg(F.count("*").alias("n")).collect()
+            }
+            min_unused = 0
+            while min_unused in freq:
+                min_unused += 1
+            if freq:
+                palette = F.broadcast(spark.createDataFrame(
+                    [(int(c), int(n)) for c, n in freq.items()], "t int, fc long"
+                ))
+                picked = (
+                    unc.crossJoin(palette)
+                    .join(used, ["src", "t"], "left_anti")
+                    .groupBy("src", "p_src")
+                    .agg(F.min(F.struct(F.col("fc"), F.col("t"))).alias("b"))
+                    .select("src", "p_src", F.col("b.t").alias("t"))
+                )
+                fallback = unc.join(
+                    picked.select("src"), "src", "left_anti"
+                ).select("src", "p_src", F.lit(min_unused).alias("t"))
+                tent = picked.unionByName(fallback)
+            else:
+                tent = unc.select("src", "p_src", F.lit(0).alias("t"))
+        else:
+            # tentative color: smallest not used by COLORED neighbours
+            # (min free <= colored-degree, so sequence(0, n_colored) covers it)
+            counts = nb.groupBy("src", "p_src").agg(
+                F.count(F.when(F.col("nb_color").isNotNull(), 1)).alias("n_colored")
+            )
+            cand_colors = counts.select(
+                "src", "p_src",
+                F.explode(F.sequence(F.lit(0), F.col("n_colored"))).alias("t"),
+            )
+            tent = (
+                cand_colors.join(used, ["src", "t"], "left_anti")
+                .groupBy("src", "p_src")
+                .agg(F.min("t").alias("t"))
+            )
         # conflict resolution: drop the tentative color iff an uncolored
         # neighbour picked the SAME color with a higher (bijective) priority
         t_dst = tent.select(

@@ -152,6 +152,60 @@ def louvain_phase_colored_np(edges, nv, colors, thresh=1e-2, max_inner=25):
     return out, prev_mod, num_iters, change, trajectory
 
 
+def distance1_coloring_lu_np(edges, nv, max_rounds=200):
+    """Least-used initial coloring — engine-spec twin of
+    ``operators.coloring.distance1_coloring(pick="least_used")`` (ref
+    ``bColoring/initialColoringLU.cpp:44-183`` ``initColoringLU``): per
+    round every uncolored vertex takes the LEAST-USED color among the
+    already-used palette that no neighbour holds — argmin (freq, c) over
+    used colors minus the neighbourhood (``:113-121``) — falling back to
+    the first never-used color when every used color is blocked
+    (``:122-123``; neighbour colors are always used, so the fallback is
+    conflict-free against the round-start snapshot). freq is the
+    round-start assignment histogram (the reference's atomic freq with
+    conflict decrements ≡ recount); the reference's racy conflict
+    re-queue is the same deterministic bijective-priority rule as the
+    first-fit path. Returns (colors, n_colors, rounds).
+    """
+    adj = adjacency(edges, nv)
+    prio = {v: xxhash64(v) for v in range(nv)}
+    color = [None] * nv
+    for v in range(nv):
+        if not any(j != v for j, _ in adj[v]):
+            color[v] = 0
+    rounds = 0
+    while any(c is None for c in color) and rounds < max_rounds:
+        rounds += 1
+        # palette = edge-incident colored vertices (the engine's working
+        # state; no-edge vertices take 0 outside the round loop)
+        freq = {}
+        for v, c in enumerate(color):
+            if c is not None and any(j != v for j, _ in adj[v]):
+                freq[c] = freq.get(c, 0) + 1
+        min_unused = 0
+        while min_unused in freq:
+            min_unused += 1
+        tentative = {}
+        for v in range(nv):
+            if color[v] is not None:
+                continue
+            used = {color[j] for j, _ in adj[v] if j != v and color[j] is not None}
+            cands = [c for c in freq if c not in used]
+            if cands:
+                tentative[v] = min(cands, key=lambda c: (freq[c], c))
+            else:
+                tentative[v] = min_unused
+        for v, t in tentative.items():
+            if all(
+                prio[v] > prio[j]
+                for j, _ in adj[v]
+                if j != v and tentative.get(j) == t
+            ):
+                color[v] = t
+    n_colors = max(color) + 1 if nv else 0
+    return color, n_colors, rounds
+
+
 def louvain_coloring_np(
     edges,
     nv,

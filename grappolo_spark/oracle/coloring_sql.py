@@ -104,6 +104,85 @@ def distance1_sql(edges_cte: str, all_vids_rel: str) -> str:
     """
 
 
+def _tent_lu_sql(p: str = "c") -> str:
+    """Tentative LEAST-USED colors for currently-uncolored vertices — twin
+    of ``distance1_coloring(pick="least_used")`` (ref
+    ``bColoring/initialColoringLU.cpp:113-123``): argmin (freq, c) over
+    the round-start palette minus the colored neighbourhood, falling back
+    to the first never-used color (gap trick over the distinct palette)."""
+    palette = (f"SELECT color AS c, COUNT(*) AS fc FROM {p}st "
+               "WHERE color IS NOT NULL GROUP BY color")
+    min_unused = f"""
+        SELECT CAST(COALESCE(MIN(CASE WHEN c <> rn THEN rn END),
+                             COUNT(*)) AS INTEGER)
+        FROM (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c) - 1 AS rn
+            FROM (SELECT DISTINCT color AS c FROM {p}st
+                  WHERE color IS NOT NULL)
+        )
+    """
+    return f"""
+        SELECT u.vid, u.prio,
+               COALESCE(pk.t, ({min_unused})) AS t
+        FROM (SELECT vid, prio FROM {p}st WHERE color IS NULL) u
+        LEFT JOIN (
+            SELECT vid, t FROM (
+                SELECT cand.vid, pal.c AS t,
+                       ROW_NUMBER() OVER (PARTITION BY cand.vid
+                                          ORDER BY pal.fc, pal.c) AS rn
+                FROM (SELECT vid FROM {p}st WHERE color IS NULL) cand
+                CROSS JOIN ({palette}) pal
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM {p}nbr e JOIN {p}st s2 ON s2.vid = e.dst
+                    WHERE e.src = cand.vid AND s2.color = pal.c
+                )
+            ) WHERE rn = 1
+        ) pk ON pk.vid = u.vid
+    """
+
+
+def distance1_lu_sql(edges_cte: str, all_vids_rel: str, p: str = "lu") -> str:
+    """(vid, color) least-used initial coloring over the full dense
+    vertex space; isolated → 0. Same recursion skeleton as
+    ``distance1_cte`` with the LU tentative rule."""
+    prio_rel = xxh64_sql(f"{p}verts", ["vid"], "vid", "42", "prio")
+    tent = _tent_lu_sql(p)
+    return f"""
+        WITH RECURSIVE {edges_cte},
+        {p}nbr AS MATERIALIZED (
+            SELECT src, dst FROM edges WHERE src <> dst
+        ),
+        {p}verts AS (SELECT DISTINCT src AS vid FROM {p}nbr),
+        {p}prio AS MATERIALIZED (SELECT vid, prio FROM {prio_rel}),
+        {p}st(rnd, vid, color, prio) AS (
+            SELECT 0, vid, CAST(NULL AS INTEGER), prio FROM {p}prio
+            UNION ALL
+            SELECT s.rnd + 1, s.vid, COALESCE(s.color, a.new_color), s.prio
+            FROM {p}st s
+            LEFT JOIN (
+                SELECT t.vid, t.t AS new_color
+                FROM ({tent}) t
+                LEFT JOIN (
+                    SELECT t1.vid, MAX(t2.prio) AS mx
+                    FROM {p}nbr e
+                    JOIN ({tent}) t1 ON t1.vid = e.src
+                    JOIN ({tent}) t2 ON t2.vid = e.dst AND t2.t = t1.t
+                    GROUP BY t1.vid
+                ) c ON c.vid = t.vid
+                WHERE c.mx IS NULL OR t.prio > c.mx
+            ) a ON a.vid = s.vid
+            WHERE EXISTS (SELECT 1 FROM {p}st u WHERE u.color IS NULL)
+              AND s.rnd < 200
+        ),
+        {p}final AS (
+            SELECT vid, color FROM {p}st
+            WHERE rnd = (SELECT MAX(rnd) FROM {p}st)
+        )
+        SELECT v.vid, CAST(COALESCE(f.color, 0) AS INTEGER) AS color
+        FROM {all_vids_rel} v LEFT JOIN {p}final f USING (vid)
+    """
+
+
 def color_stats_sql(edges_cte: str, all_vids_rel: str) -> str:
     """n_colors/max_class/avg_class/var_class over the distance-1 colors."""
     return f"""

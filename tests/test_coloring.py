@@ -49,6 +49,25 @@ def test_coloring_valid_and_matches_oracle(spark, name):
     assert n_colors == exp_n
 
 
+@pytest.mark.parametrize("name", ["karate", "grid3d", "star_hub",
+                                  "disconnected"])
+def test_coloring_least_used_matches_oracle(spark, name):
+    """Least-used initial coloring (ref bColoring/initialColoringLU.cpp
+    initColoringLU) vs its numpy twin; output must also be a proper
+    coloring."""
+    from grappolo_spark.oracle.coloring_np import distance1_coloring_lu_np
+
+    edges, nv = fx.ALL_FIXTURES[name]()
+    rows = fx.symmetric_rows(edges)
+    df = fx.to_spark_edges(spark, edges)
+    exp, exp_n, exp_rounds = distance1_coloring_lu_np(rows, nv)
+    got_df, n, rounds = distance1_coloring(spark, df, nv, pick="least_used")
+    got = {r["vid"]: r["color"] for r in got_df.collect()}
+    assert [got[i] for i in range(nv)] == exp, name
+    assert (n, rounds) == (exp_n, exp_rounds)
+    assert validate_coloring(df, got_df) == 0
+
+
 def test_coloring_partition_invariant(spark):
     edges, nv = fx.karate()
     df2 = fx.to_spark_edges(spark, edges).repartition(2)
