@@ -59,6 +59,38 @@ KERNEL_AGG = os.environ.get("SPARK_GRAFT_KERNEL_AGG", "0") == "1"
 BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
+def _cpu_probe(workers: int, secs: float = 6.0) -> int:
+    """Pure-CPU capacity probe (same design as scripts/scaling_bench.py):
+    `workers` pinned processes burn arithmetic for `secs`; the summed work
+    units measure what the co-tenant box ACTUALLY offered at probe time.
+    Bracketing the headline repeats with this probe makes a regression
+    attributable: engine-vs-host is unreadable from wall seconds alone on
+    a VM whose capacity swings several x minute-to-minute (VERDICT r4
+    'wrong' #2 — the r4 headline halved and could not be adjudicated from
+    the bench JSON)."""
+    import multiprocessing
+
+    def _burn(counter):
+        t0 = time.time()
+        x = 0
+        while time.time() - t0 < secs:
+            for i in range(100000):
+                x += i * i
+            counter.value += 1
+
+    prev = os.sched_getaffinity(0)
+    try:
+        os.sched_setaffinity(0, sorted(prev)[:workers])
+        counters = [multiprocessing.Value("i", 0) for _ in range(workers)]
+        procs = [multiprocessing.Process(target=_burn, args=(c,))
+                 for c in counters]
+        [p.start() for p in procs]
+        [p.join() for p in procs]
+        return sum(c.value for c in counters)
+    finally:
+        os.sched_setaffinity(0, prev)
+
+
 def bench_corpus_dir(n_convs: int) -> str:
     return os.environ.get(
         "SPARK_GRAFT_BENCH_CACHE",
@@ -126,6 +158,9 @@ def run_headline(spark, edges, n_rows: int, nv: int, repeats: int = BENCH_REPEAT
 
     import statistics
 
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cap0 = _cpu_probe(n_cpus)
+
     reps = []
     for _ in range(max(1, repeats)):
         t0 = time.time()
@@ -151,6 +186,9 @@ def run_headline(spark, edges, n_rows: int, nv: int, repeats: int = BENCH_REPEAT
             "louvain_edges_per_sec": round(n_rows * res.num_iters / t_lv, 1),
         })
 
+    cap1 = _cpu_probe(n_cpus)
+    capacity = (cap0 + cap1) / 2
+
     med = statistics.median(r["edges_per_sec"] for r in reps)
     # representative repeat = the one closest to the median throughput
     rep = min(reps, key=lambda r: abs(r["edges_per_sec"] - med))
@@ -161,6 +199,13 @@ def run_headline(spark, edges, n_rows: int, nv: int, repeats: int = BENCH_REPEAT
         **rep,
         "edges_per_sec": med,  # median across repeats, NOT best-of
         "repeats": reps,
+        # 6-s pure-CPU probe work units before/after the repeats (see
+        # _cpu_probe): the denominator that separates an engine
+        # regression from a co-tenant host collapse across rounds
+        "capacity_units_before": cap0,
+        "capacity_units_after": cap1,
+        "capacity_units": round(capacity, 1),
+        "edges_per_sec_per_unit": round(med / capacity, 1) if capacity else None,
     }
 
 

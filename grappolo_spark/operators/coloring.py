@@ -374,6 +374,19 @@ def balanced_coloring(
     same bijective priority. Oracle twin (identical spec per variant):
     ``oracle.coloring_np.balanced_coloring_np``.
 
+    Documented avg deviation (like the wbase note): the engine uses the
+    TRUE ceil ``-(-nv // ncolors)`` for every variant. Only vBase's C++
+    actually computes that (``ceil((double)NVer/(double)ncolors)``,
+    ``vBase.cpp:76``); cBase/wBase/mBase call ``ceil(nv/ncolors)`` on
+    INTEGER operands (``cBase.cpp:65``, ``wBase.cpp:94``,
+    ``mBase.cpp:93``), where the division truncates before ceil sees it
+    — i.e. the reference's computed value is floor there, shifting
+    per-class capacity by 1 whenever ncolors does not divide the load
+    (including the mbase ``avg > bucket_cap + 64`` clamp boundary). The
+    engine/numpy/SQL twins share the true-ceil spec, so the gates hold
+    exactly; the floor variant is a one-token change if bit-parity with
+    the truncating builds is ever needed.
+
     Returns ((vid, color), rounds_run).
     """
     if variant not in ("vbase", "cbase", "wbase", "mbase"):
@@ -776,7 +789,166 @@ def rbase_coloring(
             .transform(cut_lineage)
         )
 
+    if rounds >= max_rounds:
+        # truncated run: vertices never recolored fall back to their base
+        # color, which can CONFLICT with neighbours' new colors — surface
+        # it so callers can tell a converged recolor from a truncated one
+        # (never hit on the gate corpora; r4 ADVICE)
+        leftover = state.filter(F.col("new_color").isNull()).count()
+        if leftover:
+            import warnings
+
+            warnings.warn(
+                f"rbase_coloring: {leftover} vertices uncolored after "
+                f"max_rounds={max_rounds} keep their base color — the "
+                "returned coloring may be improper; raise max_rounds",
+                RuntimeWarning, stacklevel=2,
+            )
+
     out = state.select(
         "vid", F.coalesce("new_color", F.col("base_color")).cast("int").alias("color")
     )
     return out, rounds
+
+
+def equitable_coloring(
+    spark: SparkSession,
+    edges: DataFrame,
+    colors: DataFrame,
+    nv: int,
+    ncolors: int | None = None,
+    pick: str = "first_fit",
+) -> tuple[DataFrame, int]:
+    """Equitable CFF/CLU redistribution (ref
+    ``Coloring/equitableColoringDistanceOne.cpp:90-253``
+    ``equitableDistanceOneColorBased``): donor classes (base size >
+    avg = ceil(nv/ncolors) — the reference's true-ceil
+    ``(NVer+numColors-1)/numColors``, ``:165``) are processed in
+    ASCENDING color order (``:173``), each draining toward avg by moving
+    members to a color below avg (``Mark[i] = colorSize[i] >= avg``,
+    ``:190-195``) and absent from the CURRENT neighbourhood
+    (``:198-205``); live class sizes carry across classes. Each donor
+    member is considered exactly ONCE (single sweep per class, no retry
+    rounds — the structural difference from the vbase/cbase round
+    loops), and at most ``excess = freq[ci] - avg`` members leave.
+
+    ``pick``: ``first_fit`` = smallest allowed color (type 1, the
+    shipped scan); ``least_used`` = smallest-size allowed color, ties to
+    the smaller id (type 2 — declared in the reference's ``type`` knob
+    ``:90-92`` but never wired in the shipped body; implemented here
+    with initColoringLU's least-used rule).
+
+    The reference's inner sweep races on colorSize/vtxColor under
+    OpenMP; the engine keeps the contract deterministic exactly like the
+    rest of the family: per donor class ONE batch — per-target admission
+    capacity ``avg - freq[t]`` AND a class-global cap of ``excess``,
+    both granted in descending xxhash64 priority; adjacent admitted
+    movers with the same target resolve to the higher priority, the
+    loser stays (no backfill). The per-class driver loop is O(ncolors)
+    (colors are bounded by max degree — tiny next to nv at any scale)
+    with one histogram collect per donor class; every per-vertex step is
+    distributed. Oracle twin (identical spec):
+    ``oracle.coloring_np.equitable_coloring_np``.
+
+    Returns ((vid, color), n_donor_classes_processed).
+    """
+    base = colors.select(
+        "vid", F.col("color").alias("base_color"), _prio(F.col("vid")).alias("prio")
+    ).transform(cut_lineage)
+    nbr = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .transform(cut_lineage)
+    )
+    if ncolors is None:
+        ncolors = int(base.agg(F.max("base_color")).collect()[0][0] or 0) + 1
+    avg = (nv + ncolors - 1) // ncolors if ncolors else 0
+
+    freq = {
+        int(r["base_color"]): int(r["n"])
+        for r in base.groupBy("base_color").agg(F.count("*").alias("n")).collect()
+    }
+    donors = sorted(c for c, n in freq.items() if n > avg)
+    if not donors:
+        return colors.select("vid", "color"), 0
+
+    state = base.select("vid", F.col("base_color").alias("color"), "prio")
+    processed = 0
+    for ci in donors:
+        excess = freq.get(ci, 0) - avg
+        if excess <= 0:
+            continue
+        processed += 1
+        eligible = sorted(c for c in range(ncolors) if freq.get(c, 0) < avg)
+        if not eligible:
+            continue
+        movers = state.filter(F.col("color") == int(ci)).select("vid", "prio")
+        cand = movers.select(
+            "vid", "prio",
+            F.explode(F.array(*[F.lit(int(c)) for c in eligible])).alias("t"),
+        )
+        nb_colors = (
+            nbr.join(movers.select(F.col("vid").alias("src")), "src")
+            .join(state.select(F.col("vid").alias("dst"), F.col("color").alias("t")), "dst")
+            .select(F.col("src").alias("vid"), "t")
+            .distinct()
+        )
+        free = cand.join(nb_colors, ["vid", "t"], "left_anti")
+        if pick == "least_used":
+            fmap = F.create_map(
+                *[F.lit(x) for c in eligible for x in (int(c), freq.get(c, 0))]
+            )
+            tent = (
+                free.withColumn("fc", fmap[F.col("t")])
+                .groupBy("vid", "prio")
+                .agg(F.min(F.struct(F.col("fc"), F.col("t"))).alias("b"))
+                .select("vid", "prio", F.col("b.t").alias("t"))
+            )
+        else:
+            tent = free.groupBy("vid", "prio").agg(F.min("t").alias("t"))
+        # per-target admission capacity avg - freq[t], priority order
+        win_t = Window.partitionBy("t").orderBy(F.desc("prio"))
+        capmap = F.create_map(
+            *[F.lit(x) for c in eligible for x in (int(c), avg - freq.get(c, 0))]
+        )
+        adm = tent.withColumn("rn", F.row_number().over(win_t)).filter(
+            F.col("rn") <= capmap[F.col("t")]
+        )
+        # class-global cap: only the first `excess` admitted by priority —
+        # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+        # partial top-k, no single-partition exchange)
+        kept = (
+            adm.select("vid", "prio", "t")
+            .orderBy(F.desc("prio")).limit(int(excess))
+        )
+        # adjacent same-target movers: higher priority wins, loser stays
+        k_dst = kept.select(
+            F.col("vid").alias("dst"), F.col("t").alias("t_dst"),
+            F.col("prio").alias("p_dst"),
+        )
+        losers = (
+            nbr.join(kept.withColumnRenamed("vid", "src"), "src")
+            .join(k_dst, "dst")
+            .filter((F.col("t") == F.col("t_dst")) & (F.col("prio") < F.col("p_dst")))
+            .select(F.col("src").alias("vid"))
+            .distinct()
+        )
+        moves = kept.join(losers, "vid", "left_anti").select("vid", "t")
+        state = (
+            state.join(moves, "vid", "left")
+            .select(
+                "vid",
+                F.coalesce(F.col("t"), F.col("color")).cast("int").alias("color"),
+                "prio",
+            )
+            .transform(cut_lineage)
+        )
+        # live class sizes carry to the next donor class (one collect per
+        # donor class, O(ncolors) rows — same driver-paced pattern as the
+        # balanced round loop)
+        freq = {
+            int(r["color"]): int(r["n"])
+            for r in state.groupBy("color").agg(F.count("*").alias("n")).collect()
+        }
+
+    return state.select("vid", "color"), processed

@@ -576,6 +576,102 @@ def rbase_coloring_np(edges, nv, colors, ncolors=None, max_rounds=50):
     return out, rounds
 
 
+def equitable_coloring_np(edges, nv, colors, ncolors=None,
+                          pick="first_fit"):
+    """Oracle twin of the equitable CFF/CLU redistribution (ref
+    ``Coloring/equitableColoringDistanceOne.cpp:90-253``
+    ``equitableDistanceOneColorBased``): donor classes (base size >
+    avg = ceil(nv/ncolors), the reference's true-ceil
+    ``(NVer+numColors-1)/numColors`` at ``:165``) are processed in
+    ASCENDING color order (``:173``); each drains toward avg by moving
+    members to a color that is below avg (``Mark[i] = colorSize[i] >=
+    avg``, ``:190-195``) and absent from the CURRENT neighbourhood
+    (``:198-205``), with live class sizes carried across classes
+    (``:210-213``). Each donor member is considered exactly ONCE (no
+    retry rounds — the reference's single sweep per class), and at most
+    ``excess = freq[ci] - avg`` members leave a class.
+
+    ``pick``: ``first_fit`` = smallest allowed color (type 1, the shipped
+    scan ``:207-211``); ``least_used`` = smallest-size allowed color,
+    ties to the smaller color id (type 2, declared in the reference's
+    ``type`` knob ``:90-92`` but never wired in the shipped body — the
+    engine implements the declared semantics with initColoringLU's
+    least-used rule).
+
+    The reference's inner sweep is an OpenMP loop racing on colorSize
+    and vtxColor; like the rest of the family the engine keeps the
+    contract deterministic: per donor class one batch — per-target
+    admission capacity ``avg - freq[t]`` AND a class-global cap of
+    ``excess``, both granted in descending xxhash64 priority; adjacent
+    admitted movers with the same target resolve to the higher priority,
+    the loser stays (considered once, no backfill).
+
+    Returns (colors list, n_donor_classes_processed).
+    """
+    nbrs = [set() for _ in range(nv)]
+    for s, d, _ in edges:
+        s, d = int(s), int(d)
+        if s != d:
+            nbrs[s].add(d)
+
+    out = list(colors)
+    base = list(colors)
+    if ncolors is None:
+        ncolors = max(base) + 1 if base else 0
+    avg = (nv + ncolors - 1) // ncolors if ncolors else 0
+    prio = {v: xxhash64(v) for v in range(nv)}
+
+    freq = {}
+    for c in base:
+        freq[c] = freq.get(c, 0) + 1
+    donors = sorted(c for c, n in freq.items() if n > avg)
+
+    processed = 0
+    for ci in donors:
+        excess = freq.get(ci, 0) - avg
+        if excess <= 0:
+            continue
+        processed += 1
+        movers = [v for v in range(nv) if out[v] == ci]
+        eligible = [c for c in range(ncolors) if freq.get(c, 0) < avg]
+        tent = {}
+        for v in movers:
+            nb = {out[j] for j in nbrs[v]}
+            free = [c for c in eligible if c not in nb]
+            if not free:
+                continue
+            if pick == "least_used":
+                tent[v] = min(free, key=lambda c: (freq.get(c, 0), c))
+            else:
+                tent[v] = min(free)
+        # per-target admission capacity avg - freq[t], priority order
+        admitted = {}
+        by_target = {}
+        for v, t in tent.items():
+            by_target.setdefault(t, []).append(v)
+        for t, vs in by_target.items():
+            cap = avg - freq.get(t, 0)
+            for i, v in enumerate(sorted(vs, key=lambda x: -prio[x])):
+                if i >= cap:
+                    break
+                admitted[v] = t
+        # class-global cap: only the first `excess` admitted (by priority)
+        ranked = sorted(admitted, key=lambda x: -prio[x])[:excess]
+        kept = {v: admitted[v] for v in ranked}
+        # adjacent same-target movers: higher priority wins, loser stays
+        for v, t in kept.items():
+            if any(
+                j in kept and kept[j] == t and prio[j] > prio[v]
+                for j in nbrs[v]
+            ):
+                continue
+            out[v] = t
+            freq[t] = freq.get(t, 0) + 1
+            freq[ci] -= 1
+
+    return out, processed
+
+
 def louvain_coloring_schedule_np(edges, nv, c_thresh=1e-2, threshold=1e-6,
                                  min_graph_size=1, max_phases=200,
                                  max_inner=25):

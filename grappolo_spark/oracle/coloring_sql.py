@@ -555,6 +555,117 @@ def _rbase_ctes(p: str, nv_expr: str, max_rounds: int) -> str:
     """
 
 
+def _equitable_ctes(p: str, nv_expr: str, pick: str = "first_fit",
+                    n_blocks: int = 8) -> str:
+    """Prefixed WITH-body for the equitable CFF/CLU redistribution
+    computing ``{p}final`` — twin of
+    ``operators.coloring.equitable_coloring`` (ref
+    ``Coloring/equitableColoringDistanceOne.cpp:90-253``). Donor classes
+    (base size > avg = true-ceil(nv/ncolors)) drain in ascending color
+    order, one deterministic batch per class with live sizes carried
+    across classes; ``n_blocks`` unrolled blocks cover up to that many
+    donor classes (blocks past the donor count are no-ops — the donor
+    set is fixed by the BASE histogram, so the unroll is a static bound,
+    not an observed schedule). ``pick`` = first_fit | least_used."""
+    if pick == "least_used":
+        pick_sel = f"""
+            SELECT vid, prio, t FROM (
+                SELECT f2.vid, f2.prio, f2.t,
+                       ROW_NUMBER() OVER (PARTITION BY f2.vid
+                                          ORDER BY f2.fc, f2.t) AS pr
+                FROM %(cand)s f2
+            ) WHERE pr = 1"""
+    else:
+        pick_sel = """
+            SELECT f2.vid, f2.prio, MIN(f2.t) AS t
+            FROM %(cand)s f2 GROUP BY f2.vid, f2.prio"""
+    blocks = []
+    for i in range(n_blocks):
+        cand = f"""(
+                SELECT mv.vid, mv.prio, el.c AS t, el.fc
+                FROM {p}mv{i} mv CROSS JOIN {p}elig{i} el
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM cnbr e JOIN {p}st{i} nb ON nb.vid = e.dst
+                    WHERE e.src = mv.vid AND nb.color = el.c
+                )
+            )"""
+        blocks.append(f"""
+        {p}d{i} AS MATERIALIZED (SELECT c FROM {p}donors WHERE r = {i + 1}),
+        {p}freq{i} AS MATERIALIZED (
+            SELECT color AS c, COUNT(*) AS n FROM {p}st{i} GROUP BY color
+        ),
+        {p}exc{i} AS MATERIALIZED (
+            SELECT f.n - (SELECT avg_cap FROM {p}param) AS e
+            FROM {p}freq{i} f WHERE f.c = (SELECT c FROM {p}d{i})
+        ),
+        {p}elig{i} AS MATERIALIZED (
+            SELECT g.c, COALESCE(fr.n, 0) AS fc
+            FROM (SELECT UNNEST(range((SELECT ncolors FROM {p}param))) AS c) g
+            LEFT JOIN {p}freq{i} fr ON fr.c = g.c
+            WHERE COALESCE(fr.n, 0) < (SELECT avg_cap FROM {p}param)
+        ),
+        {p}mv{i} AS MATERIALIZED (
+            SELECT vid, prio FROM {p}st{i}
+            WHERE color = (SELECT c FROM {p}d{i})
+              AND COALESCE((SELECT e FROM {p}exc{i}), 0) > 0
+        ),
+        {p}pick{i} AS MATERIALIZED ({pick_sel % {"cand": cand}}
+        ),
+        {p}adm{i} AS MATERIALIZED (
+            SELECT vid, prio, t FROM (
+                SELECT pk.vid, pk.prio, pk.t,
+                       ROW_NUMBER() OVER (PARTITION BY pk.t
+                                          ORDER BY pk.prio DESC) AS rn,
+                       (SELECT avg_cap FROM {p}param)
+                       - COALESCE((SELECT n FROM {p}freq{i} f
+                                   WHERE f.c = pk.t), 0) AS cap
+                FROM {p}pick{i} pk
+            ) WHERE rn <= cap
+        ),
+        {p}kept{i} AS MATERIALIZED (
+            SELECT vid, prio, t FROM (
+                SELECT a.*, ROW_NUMBER() OVER (ORDER BY a.prio DESC) AS gr
+                FROM {p}adm{i} a
+            ) WHERE gr <= COALESCE((SELECT e FROM {p}exc{i}), 0)
+        ),
+        {p}mov{i} AS MATERIALIZED (
+            SELECT k.vid, k.t FROM {p}kept{i} k
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cnbr e JOIN {p}kept{i} o ON o.vid = e.dst
+                WHERE e.src = k.vid AND o.t = k.t AND o.prio > k.prio
+            )
+        ),
+        {p}st{i + 1} AS MATERIALIZED (
+            SELECT s.vid, CAST(COALESCE(m.t, s.color) AS INTEGER) AS color,
+                   s.prio
+            FROM {p}st{i} s LEFT JOIN {p}mov{i} m ON m.vid = s.vid
+        )""")
+    block_ctes = ",".join(blocks)
+    return f"""
+        {p}param AS MATERIALIZED (
+            -- true ceil (nv + ncolors - 1) // ncolors, the reference's
+            -- (NVer+numColors-1)/numColors (equitableColoring...cpp:165)
+            SELECT MAX(base_color) + 1 AS ncolors,
+                   ({nv_expr} + MAX(base_color)) // (MAX(base_color) + 1)
+                       AS avg_cap
+            FROM ball
+        ),
+        {p}donors AS MATERIALIZED (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS r FROM (
+                SELECT base_color AS c FROM ball
+                GROUP BY base_color
+                HAVING COUNT(*) > (SELECT avg_cap FROM {p}param)
+            )
+        ),
+        {p}st0 AS MATERIALIZED (
+            SELECT b.vid, b.base_color AS color, x.prio
+            FROM ball b JOIN bprio x USING (vid)
+        ),
+        {block_ctes},
+        {p}final AS (SELECT vid, color FROM {p}st{n_blocks})
+    """
+
+
 def _variant_ctes(p: str, variant: str, nv_expr: str, max_rounds: int) -> str:
     if variant in _ROUND_VARIANTS:
         return _balanced_variant_ctes(p, variant, nv_expr, max_rounds)
@@ -562,6 +673,10 @@ def _variant_ctes(p: str, variant: str, nv_expr: str, max_rounds: int) -> str:
         return _bbase_ctes(p, nv_expr)
     if variant == "rbase":
         return _rbase_ctes(p, nv_expr, max_rounds)
+    if variant in ("ecff", "eclu"):
+        return _equitable_ctes(
+            p, nv_expr,
+            pick="least_used" if variant == "eclu" else "first_fit")
     raise ValueError(f"unknown balanced-coloring variant: {variant}")
 
 

@@ -90,9 +90,10 @@ def get_spark(
 from contextlib import contextmanager  # noqa: E402
 
 
-# sessions (by id) currently inside a scaled_shuffle_partitions scope —
-# see the nesting note in the contextmanager below
-_SCALED_ACTIVE: dict[int, int] = {}
+# sessions (by applicationId — session-lifetime unique, unlike id(spark),
+# which the allocator can reuse after a stop+gc) currently inside a
+# scaled_shuffle_partitions scope — see the nesting note below
+_SCALED_ACTIVE: dict[str, int] = {}
 
 
 @contextmanager
@@ -122,7 +123,7 @@ def scaled_shuffle_partitions(spark: SparkSession, n_rows: int,
     """
     rows_per_partition = int(os.environ.get(
         "SPARK_GRAFT_ROWS_PER_PART", str(rows_per_partition)))
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     if _SCALED_ACTIVE.get(key):
         # nested scope: keep the outer clamp
         _SCALED_ACTIVE[key] += 1

@@ -48,9 +48,19 @@ _DERIVED_CACHE: dict = {}
 
 
 def _cached(spark: SparkSession, sf_dir: str, kind: str, build):
-    key = (id(spark), sf_dir, kind)
+    # keyed on applicationId, a session-lifetime identifier: id(spark) can
+    # be REUSED by a new session after the old one is stopped and
+    # collected, which would hand out stale localCheckpointed DataFrames
+    # bound to a dead context. A new application also invalidates every
+    # older entry (getOrCreate keeps one live session per process) — drop
+    # them so the cache cannot grow unboundedly across sessions/sf_dirs.
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, kind)
     hit = _DERIVED_CACHE.get(key)
     if hit is None:
+        stale = [k for k in _DERIVED_CACHE if k[0] != app_id]
+        for k in stale:
+            del _DERIVED_CACHE[k]
         hit = build()
         _DERIVED_CACHE[key] = hit
     return hit

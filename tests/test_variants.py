@@ -479,3 +479,35 @@ def test_resistance_sweep_stats_matches_oracle(spark, name, k):
         assert g["curr_mod"] == e["curr_mod"], (name, g["it"])
         assert g["r_min"] == e["r_min"], (name, g["it"])
         assert g["q_afg"] == e["q_afg"], (name, g["it"])
+
+
+@pytest.mark.parametrize("pick", ["first_fit", "least_used"])
+@pytest.mark.parametrize("name", ["karate", "grid3d", "star_hub"])
+def test_equitable_coloring_matches_oracle(spark, name, pick):
+    """Equitable CFF/CLU redistribution vs its numpy twin (ref
+    Coloring/equitableColoringDistanceOne.cpp:90-253): donor classes
+    drain in ascending color order toward avg = true-ceil(nv/ncolors),
+    one single-consideration batch per class, live sizes carried across
+    classes. CLU = the reference's declared-but-unshipped type 2,
+    implemented with initColoringLU's least-used rule."""
+    from grappolo_spark.operators.coloring import equitable_coloring
+    from grappolo_spark.oracle.coloring_np import equitable_coloring_np
+
+    edges, nv = fx.ALL_FIXTURES[name]()
+    rows = fx.symmetric_rows(edges)
+    df = fx.to_spark_edges(spark, edges)
+    colors_np, ncolors, _ = distance1_coloring_np(rows, nv)
+    colors_df, _, _ = distance1_coloring(spark, df, nv)
+    exp, exp_proc = equitable_coloring_np(rows, nv, colors_np, pick=pick)
+    got, proc = equitable_coloring(spark, df, colors_df, nv, pick=pick)
+    assert _collect(got, "color", nv) == exp, (name, pick)
+    assert proc == exp_proc
+    # contract: output stays a proper coloring and donors never grow
+    assert validate_coloring(df, got) == 0
+    from collections import Counter
+    base_sizes = Counter(colors_np)
+    out_sizes = Counter(exp)
+    avg = (nv + ncolors - 1) // ncolors
+    for c, n in base_sizes.items():
+        if n > avg:
+            assert out_sizes.get(c, 0) <= n  # donor classes only drain
