@@ -329,6 +329,7 @@ def balanced_coloring(
     variant: str = "vbase",
     bucket_cap: int = MBASE_BUCKET_CAP,
     oversize_thresh: int = MBASE_OVERSIZE,
+    wbase_ref_constant: bool = False,
     _scaled: bool = False,
 ) -> tuple[DataFrame, int]:
     """Balanced-coloring redistribution (ref C16): vertices in OVERSIZE
@@ -399,7 +400,7 @@ def balanced_coloring(
                 spark, edges, colors, nv, ncolors=ncolors, strategy=strategy,
                 max_rounds=max_rounds, variant=variant,
                 bucket_cap=bucket_cap, oversize_thresh=oversize_thresh,
-                _scaled=True,
+                wbase_ref_constant=wbase_ref_constant, _scaled=True,
             )
     base = colors.select("vid", F.col("color").alias("base_color")).transform(cut_lineage)
     nbr = (
@@ -424,7 +425,16 @@ def balanced_coloring(
         total_w = int(
             state.agg(F.sum("w")).collect()[0][0] or 0
         )
-        avg = -(-total_w // ncolors)  # ceil of the weighted mean
+        if wbase_ref_constant:
+            # BIT-PARITY with the truncating reference constant
+            # (wBase.cpp:94 ceil(ne/ncolors) on integer operands = floor;
+            # class loads sum to 2*ne, so every class is structurally
+            # oversize and the drain loop terminates by exhaustion /
+            # max_rounds — the documented deviation, now selectable)
+            ne = int(nbr.count()) // 2
+            avg = ne // ncolors
+        else:
+            avg = -(-total_w // ncolors)  # attainable weighted mean (ceil)
         load = F.sum("w").alias("n")
     else:
         state = state.withColumn("w", F.lit(1).cast("long"))

@@ -376,6 +376,7 @@ def louvain_phase(
     kernel_agg: bool = False,
     fuse_state: bool = False,
     chain_sweeps: int = 1,
+    active_prune: float | None = None,
 ) -> PhaseResult:
     """One Louvain phase with exact reference SFP-path semantics.
 
@@ -432,6 +433,26 @@ def louvain_phase(
     the honest residual is the per-superstep constant, decomposed in
     BENCH.md.
 
+    ``active_prune`` (arrow path, exact): per-sweep ACTIVE-VERTEX pruning
+    of the Jacobi evaluation. A vertex whose own community AND every
+    neighbour's community were untouched by the previous sweep's moves
+    sees bit-identical argmax inputs (eiy per candidate is unchanged —
+    no neighbour regrouped; ay/size_y and ax_full/size_sc are unchanged
+    — no touched community among its candidates or its own), so its
+    decision equals the previous sweep's decision: STAY (had it wanted
+    to move, it would have moved then and its community would be
+    touched). Such vertices bypass the kernel entirely and pass their
+    previous row through (own_w carried from the previous target,
+    _a2t = degree·ax_full recomputed from the CURRENT state — equal by
+    the same argument). The value is the threshold moved-fraction below
+    which pruning engages (the early sweeps move half the graph — there
+    the active set ≈ V and the pruning joins are pure overhead); two
+    more guards fall back to a full sweep when the touched communities
+    hold more than the threshold fraction of vertices (one move into a
+    giant community invalidates every member) or the computed active set
+    exceeds half of nv. Bit-exact by construction and pytest-gated
+    against the unpruned path (tests/test_louvain.py).
+
     ``hub_salt``: explicit skew handling for hub vertices (the engine twin
     of the reference GPU port's degree-binned execution,
     ``binWiseGaussSeidel.cu:104-128``): the J1+A3 candidate aggregation
@@ -461,6 +482,7 @@ def louvain_phase(
                 sample_pct=sample_pct, hub_salt=hub_salt,
                 prepared=louvain_prepare(edges), kernel_agg=kernel_agg,
                 fuse_state=fuse_state, chain_sweeps=chain_sweeps,
+                active_prune=active_prune,
             )
     edges, deg, two_m, selfw = prepared
     const = 1.0 / two_m if two_m > 0 else 0.0
@@ -495,6 +517,11 @@ def louvain_phase(
     change = False
     num_iters = start_iter
     trajectory = []
+    # active-vertex pruning state: the previous sweep's full target (which
+    # carries own_w) and its applied-move count; both None until one full
+    # in-session arrow sweep has run
+    prev_target = None
+    prev_moved = None
 
     while True:
         num_iters += 1
@@ -529,7 +556,53 @@ def louvain_phase(
                 F.col("vid").alias("dst"), F.col("sc").alias("comm_dst"),
                 F.col("ax_full").alias("ay"), F.col("size_sc").alias("size_y"),
             )
-            msg = edges.join(cdst2, "dst")
+            # active-vertex pruning (see the docstring's exactness
+            # argument): engage only when the previous sweep moved few
+            # vertices AND the touched communities are small AND the
+            # computed active set stays under half of nv
+            active = None
+            if (
+                active_prune is not None and sample_pct is None
+                and prev_target is not None and prev_moved is not None
+                and 0 < prev_moved <= active_prune * nv
+            ):
+                movers = prev_target.filter(F.col("comm") != F.col("sc"))
+                tcomms = (
+                    movers.select(F.col("comm").alias("tc"))
+                    .union(movers.select(F.col("sc").alias("tc")))
+                    .distinct()
+                )
+                tsz = (
+                    info.join(F.broadcast(tcomms),
+                              F.col("comm") == F.col("tc"))
+                    .agg(F.sum("c_size")).collect()[0][0]
+                )
+                if tsz is not None and tsz <= active_prune * nv:
+                    base_t = state.join(
+                        F.broadcast(tcomms), F.col("sc") == F.col("tc")
+                    ).select("vid")
+                    nbr_t = edges.join(
+                        F.broadcast(base_t.withColumnRenamed("vid", "dst")),
+                        "dst",
+                    ).select(F.col("src").alias("vid"))
+                    cand_active = cut_lineage(base_t.union(nbr_t).distinct())
+                    # cap = max(0.5, threshold): thresholds <= 0.5 fall
+                    # back to a full sweep when the active set exceeds
+                    # half the graph; threshold 1.0 means "always prune"
+                    # (the pytest bit-equality setting)
+                    if cand_active.count() <= max(0.5, active_prune) * nv:
+                        active = cand_active
+                    else:
+                        release(cand_active)
+            st_eval = state
+            if active is not None:
+                st_eval = state.join(F.broadcast(active), "vid")
+                msg = edges.join(
+                    F.broadcast(active.withColumnRenamed("vid", "src")),
+                    "src",
+                ).join(cdst2, "dst")
+            else:
+                msg = edges.join(cdst2, "dst")
             if kernel_agg and not hub_salt:
                 # raw message stream straight into the kernel: the
                 # (src, comm_dst) reduction happens Arrow-side (see
@@ -562,14 +635,30 @@ def louvain_phase(
             # jobs; _a2t is projected off before the checkpoint stores the
             # state
             obs_target = Observation()
+            sweep_out = _apply_sampling(
+                _sweep_arrow_cogrouped(
+                    cand, st_eval, const, spark.sparkContext.defaultParallelism,
+                    raw=kernel_agg and not hub_salt,
+                ),
+                sample_pct, num_iters,
+            )
+            if active is not None:
+                # provably-fixed vertices bypass the kernel: same comm,
+                # own_w carried from the previous target, _a2t recomputed
+                # from the CURRENT state (equal by the exactness argument)
+                passthrough = (
+                    state.join(F.broadcast(active), "vid", "left_anti")
+                    .join(prev_target.select(
+                        "vid", F.col("own_w").alias("_pw")), "vid")
+                    .select(
+                        "vid", F.col("sc").alias("comm"), "sc",
+                        F.col("_pw").alias("own_w"), "degree", "self_w",
+                        (F.col("degree") * F.col("ax_full")).alias("_a2t"),
+                    )
+                )
+                sweep_out = sweep_out.unionByName(passthrough)
             target = cut_lineage(
-                _apply_sampling(
-                    _sweep_arrow_cogrouped(
-                        cand, state, const, spark.sparkContext.defaultParallelism,
-                        raw=kernel_agg and not hub_salt,
-                    ),
-                    sample_pct, num_iters,
-                ).observe(
+                sweep_out.observe(
                     obs_target,
                     F.sum("own_w").alias("e_xx"),
                     F.sum(
@@ -584,6 +673,8 @@ def louvain_phase(
             trajectory.append(curr_mod)
             moved = obs_target.get["moved"] or 0
             release(state)
+            if active is not None:
+                release(active)
             if moved > 0:
                 change = True
             if moved == 0 or num_iters >= max_inner:
@@ -595,6 +686,8 @@ def louvain_phase(
             # eagerly (waiting on the GC-driven cleaner OOMs long runs).
             release(curr_backing)
             curr_backing = target
+            prev_target = target
+            prev_moved = int(moved)
             curr2 = target.select("vid", "comm", "degree", "self_w")
             curr = target.select("vid", "comm")
             if checkpoint is not None:
@@ -1188,6 +1281,7 @@ def louvain(
     method: str = "dataframe",
     hub_salt: int | None = None,
     kernel_agg: bool = False,
+    active_prune: float | None = None,
 ) -> LouvainResult:
     """Multi-phase Louvain (``runMultiPhaseBasic.cpp:66-204`` semantics).
 
@@ -1236,6 +1330,7 @@ def louvain(
             spark, g_edges, g_nv, lower=curr_mod, max_inner=max_inner,
             checkpoint=checkpoint, phase_tag=f"louvain_phase_{phase}",
             method=method, hub_salt=hub_salt, kernel_agg=kernel_agg,
+            active_prune=active_prune,
         )
         curr_mod = res.modularity
         tot_iters += res.num_iters

@@ -320,7 +320,8 @@ def balanced_coloring_np(edges, nv, colors, ncolors=None,
                          strategy="first_fit", max_rounds=50,
                          variant="vbase",
                          bucket_cap=MBASE_BUCKET_CAP,
-                         oversize_thresh=MBASE_OVERSIZE):
+                         oversize_thresh=MBASE_OVERSIZE,
+                         wbase_ref_constant=False):
     """Oracle twin of ``operators.coloring.balanced_coloring`` (ref C16,
     ``Coloring/vBase.cpp:6-169`` / ``bColoring/cBase.cpp:44-140`` /
     ``bColoring/wBase.cpp:44-201`` / ``bColoring/mBase.cpp:44-213``),
@@ -351,7 +352,12 @@ def balanced_coloring_np(edges, nv, colors, ncolors=None,
         ncolors = max(base) + 1 if base else 0
     if variant == "wbase":
         w = [len(nbrs[v]) for v in range(nv)]
-        avg = -(-sum(w) // ncolors) if ncolors else 0
+        if wbase_ref_constant:
+            # wBase.cpp:94 ceil(ne/ncolors) on integer operands = floor
+            ne = sum(w) // 2
+            avg = ne // ncolors if ncolors else 0
+        else:
+            avg = -(-sum(w) // ncolors) if ncolors else 0
     else:
         w = [1] * nv
         avg = -(-nv // ncolors) if ncolors else 0

@@ -81,11 +81,28 @@ def run_reference(binary: str, metis_path: pathlib.Path, threads: int) -> dict:
     return summary
 
 
+def _renumber_first_occurrence(labels):
+    """Canonical partition labels: first occurrence order (the engine's
+    renumber rule); -1 (isolated) stays a shared label."""
+    m, out, nxt = {}, [], 0
+    for x in labels:
+        if x not in m:
+            m[x] = nxt
+            nxt += 1
+        out.append(m[x])
+    return out
+
+
 def main():
-    corpus = sys.argv[1] if len(sys.argv) > 1 else "copurchase"
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    binary = sys.argv[3] if len(sys.argv) > 3 else "/tmp/refbuild/driverForGraphClustering"
-    threads = int(sys.argv[4]) if len(sys.argv) > 4 else int(
+    # --strict-parity: additionally diff the FINAL per-vertex assignment
+    # against the binary's _clustInfo output (both sides renumbered to
+    # first-occurrence canonical labels), not just the trajectory scalars
+    strict = "--strict-parity" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--strict-parity"]
+    corpus = argv[0] if len(argv) > 0 else "copurchase"
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+    binary = argv[2] if len(argv) > 2 else "/tmp/refbuild/driverForGraphClustering"
+    threads = int(argv[3]) if len(argv) > 3 else int(
         os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     from grappolo_spark import tables as T
@@ -131,9 +148,14 @@ def main():
     ref = run_reference(binary, metis, threads)
     print(f"reference ({threads}T, Modified Parallel/SFP): {ref}", flush=True)
 
-    # engine: same full multi-phase driver the bench times, to convergence
+    # engine: same full multi-phase driver the bench times, to convergence.
+    # SPARK_GRAFT_ACTIVE_PRUNE (a moved-fraction threshold, e.g. 0.05)
+    # switches on exact active-vertex pruning of the arrow sweeps — the
+    # VERDICT r4 #5 lever; empty/unset = the unpruned baseline path.
+    prune_env = os.environ.get("SPARK_GRAFT_ACTIVE_PRUNE", "")
+    active_prune = float(prune_env) if prune_env else None
     t0 = time.time()
-    res = louvain(spark, edges, nv, method="arrow")
+    res = louvain(spark, edges, nv, method="arrow", active_prune=active_prune)
     res.c.count()
     eng_wall = time.time() - t0
     eng = {
@@ -143,11 +165,31 @@ def main():
         "num_clusters": res.num_clusters,
         "modularity": round(res.modularity, 6),
     }
+    if active_prune is not None:
+        eng["active_prune"] = active_prune
     print(f"engine (local[{threads}], arrow multi-phase): {eng}", flush=True)
 
     dq = (ref["modularity"] - eng["modularity"]
           if ref.get("modularity") is not None else None)
     print(f"delta_modularity={dq}", flush=True)
+
+    parity = None
+    if strict:
+        clust = metis.with_name(metis.name + "_clustInfo")
+        if clust.exists():
+            ref_labels = [int(x) for x in clust.read_text().split()]
+            # the binary prints isolated vertices as unsigned -1
+            ref_labels = [-1 if x == 4294967295 else x for x in ref_labels]
+            eng_map = {r["vid"]: r["comm"] for r in res.c.collect()}
+            eng_labels = [eng_map.get(v, -1) for v in range(nv)]
+            ra = _renumber_first_occurrence(ref_labels[:nv])
+            ea = _renumber_first_occurrence(eng_labels)
+            parity = sum(1 for a, b in zip(ra, ea) if a != b)
+            print(f"strict-parity: {parity} / {nv} per-vertex label "
+                  f"mismatches after first-occurrence renumber", flush=True)
+        else:
+            print(f"strict-parity: {clust} not found (binary run skipped "
+                  "writing clustInfo?)", flush=True)
 
     # append-only record; scripts/scaling_bench.py renders these rows into
     # BENCH.md's "Same-graph anchor" section (BENCH.md is generated, so
@@ -155,11 +197,14 @@ def main():
     rec_path = pathlib.Path(__file__).resolve().parent / "anchor_results.json"
     import json as _json
     recs = _json.loads(rec_path.read_text()) if rec_path.exists() else []
-    recs.append({
+    rec = {
         "corpus": corpus, "sf_dir": sf_dir, "nv": nv, "sym_rows": n_rows,
         "threads": threads, "reference": ref, "engine": eng,
         "delta_modularity": dq,
-    })
+    }
+    if parity is not None:
+        rec["strict_parity_mismatches"] = parity
+    recs.append(rec)
     rec_path.write_text(_json.dumps(recs, indent=1))
     spark.stop()
 

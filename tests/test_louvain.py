@@ -31,9 +31,13 @@ def _collect_c(df, nv):
 
 @pytest.mark.parametrize("name", PHASE_FIXTURES)
 @pytest.mark.parametrize(
-    "method", ["dataframe", "arrow", "arrow+kernel_agg", "arrow+fuse"]
+    "method",
+    ["dataframe", "arrow", "arrow+kernel_agg", "arrow+fuse", "arrow+prune"],
 )
 def test_phase_exact(spark, name, method):
+    # arrow+prune: active-vertex pruning at threshold 1.0 engages on every
+    # sweep after the first whenever its guards admit — the pruned sweeps
+    # must stay bit-exact (assignment AND trajectory) vs the oracle
     edges, nv = fx.ALL_FIXTURES[name]()
     rows = fx.symmetric_rows(edges)
     df = fx.to_spark_edges(spark, edges)
@@ -43,6 +47,8 @@ def test_phase_exact(spark, name, method):
         kw["kernel_agg"] = True
     elif method == "arrow+fuse":
         kw["fuse_state"] = True
+    elif method == "arrow+prune":
+        kw["active_prune"] = 1.0
     res = louvain_phase(spark, df, nv, method=method.split("+")[0], **kw)
     assert _collect_c(res.c, nv) == exp_c, name
     assert res.modularity == exp_mod, name

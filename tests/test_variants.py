@@ -511,3 +511,27 @@ def test_equitable_coloring_matches_oracle(spark, name, pick):
     for c, n in base_sizes.items():
         if n > avg:
             assert out_sizes.get(c, 0) <= n  # donor classes only drain
+
+
+@pytest.mark.parametrize("name", ["karate", "star_hub"])
+def test_balanced_coloring_wbase_ref_constant(spark, name):
+    """wbase_ref_constant=True selects BIT-PARITY with the reference's
+    truncating constant (wBase.cpp:94 ceil(ne/ncolors) on integer
+    operands = floor): class loads sum to 2*ne, so every class is
+    structurally oversize and the drain terminates by exhaustion — the
+    engine and numpy twins must agree under the same spec, and the
+    output must stay a proper coloring."""
+    edges, nv = fx.ALL_FIXTURES[name]()
+    rows = fx.symmetric_rows(edges)
+    df = fx.to_spark_edges(spark, edges)
+    colors_np, _, _ = distance1_coloring_np(rows, nv)
+    colors_df, _, _ = distance1_coloring(spark, df, nv)
+    exp, exp_rounds = balanced_coloring_np(
+        rows, nv, colors_np, variant="wbase", max_rounds=6,
+        wbase_ref_constant=True)
+    got, rounds = balanced_coloring(
+        spark, df, colors_df, nv, variant="wbase", max_rounds=6,
+        wbase_ref_constant=True)
+    assert _collect(got, "color", nv) == exp, name
+    assert rounds == exp_rounds
+    assert validate_coloring(df, got) == 0
