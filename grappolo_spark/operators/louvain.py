@@ -41,6 +41,8 @@ Parquet + manifest so runs resume mid-phase.
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
@@ -522,9 +524,14 @@ def louvain_phase(
     # in-session arrow sweep has run
     prev_target = None
     prev_moved = None
+    # SPARK_GRAFT_SWEEP_TRACE=1: per-sweep wall/moved/mode diagnostics
+    # (arrow path) — measurement-only, no plan change; feeds BENCH.md's
+    # active-prune attribution
+    trace = os.environ.get("SPARK_GRAFT_SWEEP_TRACE") == "1"
 
     while True:
         num_iters += 1
+        t_sweep = time.time()
 
         if method == "arrow":
             # v2 sweep: the candidate community's (c_degree, c_size) ride
@@ -561,6 +568,7 @@ def louvain_phase(
             # vertices AND the touched communities are small AND the
             # computed active set stays under half of nv
             active = None
+            n_active = None
             if (
                 active_prune is not None and sample_pct is None
                 and prev_target is not None and prev_moved is not None
@@ -590,7 +598,8 @@ def louvain_phase(
                     # back to a full sweep when the active set exceeds
                     # half the graph; threshold 1.0 means "always prune"
                     # (the pytest bit-equality setting)
-                    if cand_active.count() <= max(0.5, active_prune) * nv:
+                    n_active = cand_active.count()
+                    if n_active <= max(0.5, active_prune) * nv:
                         active = cand_active
                     else:
                         release(cand_active)
@@ -675,6 +684,14 @@ def louvain_phase(
             release(state)
             if active is not None:
                 release(active)
+            if trace:
+                print(
+                    f"[sweep {phase_tag or 'p'}#{num_iters}] "
+                    f"{time.time() - t_sweep:.1f}s moved={moved} "
+                    f"mode={'pruned' if active is not None else 'full'} "
+                    f"active={n_active}",
+                    flush=True,
+                )
             if moved > 0:
                 change = True
             if moved == 0 or num_iters >= max_inner:
