@@ -577,8 +577,19 @@ efficiency on the 2x corpus vs the 1x corpus per window:
     anchor_path = pathlib.Path(__file__).resolve().parent / "anchor_results.json"
     if anchor_path.exists():
         arecs = json.loads(anchor_path.read_text())
+        def _corpus_label(a):
+            # annotate rows that carry round-5 extras: active-prune knob
+            # and the strict per-vertex parity diff
+            lab = a["corpus"]
+            if a["engine"].get("active_prune") is not None:
+                lab += f" (prune {a['engine']['active_prune']})"
+            if "strict_parity_mismatches" in a:
+                lab += (f" [strict parity {a['strict_parity_mismatches']}"
+                        f"/{a['nv']:,} mismatches]")
+            return lab
+
         arows = "\n".join(
-            f"| {a['corpus']} | {a['nv']:,} / {a['sym_rows'] // 2:,} "
+            f"| {_corpus_label(a)} | {a['nv']:,} / {a['sym_rows'] // 2:,} "
             f"| {a['reference']['modularity']} / {a['engine']['modularity']} "
             f"| {a['reference']['phases']}ph {a['reference']['total_iters']}it "
             f"/ {a['engine']['phases']}ph {a['engine']['total_iters']}it "
@@ -634,6 +645,53 @@ box). This is the measured irreducible form the round-3 verdict asked
 for: the remaining gap is shuffle-vs-shared-memory per-sweep cost — the
 term a multi-executor deployment pays anyway, while the binary's
 shared-memory model cannot scale past one node.
+
+### Round-5: active-vertex pruning measured no-better — closed as irreducible
+
+The round-4 verdict's one remaining lever (#5) was exact active-vertex
+pruning of the phase-1 sweeps: vertices whose own community and whole
+neighbourhood were untouched by the previous sweep provably keep their
+argmax, so they can bypass the kernel. Implemented (bit-exact by
+construction, pytest-gated on assignment AND trajectory, and
+strict-parity 0/2,701,003 vs the binary at 61.3M rows), then measured
+in ONE window with an interleaved unpruned control and a per-sweep
+trace (``SPARK_GRAFT_SWEEP_TRACE=1``, ``operators/louvain.py``;
+evidence: ``scripts/evidence/anchor_r5_*.log``):
+
+- threshold 0.25: 501.9s engine vs 80.6s binary (6.2x) — **worse** than
+  the same-window unpruned control 329.3s vs 74.6s (4.4x);
+- threshold 0.05: 462.2s vs 69.1s (6.7x) — worse again, and the trace
+  shows why. Sweeps 11-25 prune down to an active set of **97,202 of
+  2,701,003 vertices (3.6%)** yet cost **7.7-9.2s each — the same as
+  the neighbouring full sweeps (7.1-7.8s)**.
+
+Reading: late-regime sweep cost on this box is NOT proportional to the
+vertices evaluated or the rows shuffled — it is the **number of
+stages/exchanges per sweep times a fixed ~1-1.5s scheduling constant**
+(info groupBy, state join, message join, kernel cogroup, target
+checkpoint — ~5-6 stages either way; pruning shrinks the DATA through
+those stages 25x but adds guard/active-set/passthrough stages of its
+own, netting slightly negative). A kernel that evaluates 3.6% of the
+graph at the same wall cost as 100% is definitive: there is no
+data-proportional term left to prune at this scale on a single JVM.
+The lever is closed as measured-irreducible, joining sweep-chaining,
+state-fusing, kernel-side aggregation, compression-off and
+partition-count sweeps on the no-better list. The per-stage scheduling
+constant is exactly the term that (a) shrinks as edge-work per
+superstep grows (amortization section) and (b) a real multi-executor
+cluster amortizes across executors, while the binary's shared-memory
+model cannot leave one node. The knob stays available (``active_prune=``
+on ``louvain_phase``/``louvain``, ``SPARK_GRAFT_ACTIVE_PRUNE`` on the
+anchor) — on a 1000-executor cluster the data-proportional term IS
+dominant and the same exact pruning applies unchanged; it is
+default-off for single-box runs.
+
+Note on window quality: the round-5 anchor window was markedly degraded
+and uneven (binary 69-81s vs 64.5s in r4; engine unpruned 329s vs 229s
+in r4; trace sweep #1 cost 40.2s vs r4's 13s for identical work) — the
+engine's thread-count-heavy profile suffers more from co-tenancy than
+the binary's. Cross-window comparisons use the ratio-to-binary within
+one window, never raw walls across windows.
 """
     (OUT / "BENCH.md").write_text(md)
     print(md)
